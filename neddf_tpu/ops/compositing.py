@@ -1,0 +1,60 @@
+"""Alpha-compositing volume-render integration.
+
+Matches the reference integrate_volume_render
+(neddf/render/base_neural_render.py:117-172):
+
+    delta_i = d_{i+1} - d_i
+    alpha_i = 1 - exp(-sigma_i * delta_i)          (first S-1 samples)
+    T_i     = prod_{j<i} (1 - alpha_j + 1e-7)      (inclusive of 1 at i=0)
+    w_i     = alpha_i * T_i
+    depth   = sum w_i d_i + T_final * max_dist      (black background)
+    color   = sum w_i c_i
+    transmittance = T_final
+
+The prefix product is expressed as exp(cumsum(log(...))) — all factors
+are >= 1e-7 by construction — which XLA lowers to a single fused
+associative scan on TPU instead of a serial loop.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def integrate_volume_render(
+    dists: Array,
+    densities: Array,
+    colors: Array,
+    max_dist: float,
+) -> Dict[str, Array]:
+    """Integrate densities/colors along rays.
+
+    Args:
+        dists: [B, S] sample distances (ascending).
+        densities: [B, S] volume densities.
+        colors: [B, S, 3] RGB at samples.
+        max_dist: background depth added with weight T_final.
+
+    Returns:
+        dict(weight [B, S-1], depth [B], color [B, 3], transmittance [B]).
+    """
+    deltas = dists[:, 1:] - dists[:, :-1]
+    alpha = 1.0 - jnp.exp(-densities[:, :-1] * deltas)
+    # cumulative transmittance including the leading 1 and trailing total
+    surv = 1.0 - alpha + 1e-7  # > 0 by construction
+    log_t = jnp.cumsum(jnp.log(surv), axis=-1)
+    t = jnp.concatenate([jnp.ones_like(log_t[:, :1]), jnp.exp(log_t)], axis=-1)
+    w = alpha * t[:, :-1]
+
+    depth = jnp.sum(w * dists[:, :-1], axis=-1) + t[:, -1] * max_dist
+    color = jnp.sum(w[:, :, None] * colors[:, :-1, :], axis=-2)
+    return {
+        "weight": w,
+        "depth": depth,
+        "color": color,
+        "transmittance": t[:, -1],
+    }

@@ -1,0 +1,125 @@
+"""Dense dual-tensor algebra for forward-mode spatial Jacobians.
+
+The reference carries (value, Jacobian) *pairs* through its distance-field
+MLP via ~700 LoC of hand-written torch.autograd.Functions
+(neddf/nn_module/with_grad/*). Here the pair is a single dual tensor
+
+    D[..., 4, C]   with   D[..., 0, :] = value
+                          D[..., 1+a, :] = d(value)/d(x_a),  a in {0,1,2}
+
+so a dense layer is ONE ``[4M, C] x [C, C']`` matmul (MXU-shaped), the
+value path is computed exactly once (no jacfwd primal duplication), and
+activations are a broadcast over the tangent rows. Everything is built
+from differentiable jnp primitives, so reverse-mode through the Jacobian
+(density depends on grad-of-distance; the loss differentiates through it)
+is exact by construction — replacing the reference's hand-written
+second-derivative backward terms (e.g. with_grad/softplus.py:83-89).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neddf_tpu.ops.pe import pe_frequencies
+
+Array = jax.Array
+
+DUAL_ROWS = 4  # 1 value row + 3 spatial tangent rows
+
+
+def pack_dual(y: Array, jac: Optional[Array] = None) -> Array:
+    """Pack value [M, C] (+ optional Jacobian [M, 3, C]) into [M, 4, C]."""
+    if jac is None:
+        jac = jnp.zeros((*y.shape[:-1], 3, y.shape[-1]), dtype=y.dtype)
+    return jnp.concatenate([y[..., None, :], jac], axis=-2)
+
+
+def dual_value(d: Array) -> Array:
+    """[M, 4, C] -> value [M, C]."""
+    return d[..., 0, :]
+
+
+def dual_jacobian(d: Array) -> Array:
+    """[M, 4, C] -> Jacobian [M, 3, C]."""
+    return d[..., 1:, :]
+
+
+def linear_dual(d: Array, w: Array, b: Optional[Array] = None) -> Array:
+    """Dense layer on a dual tensor: value row gets xW+b, tangents get JW.
+
+    Equivalent to the reference LinearGradFunction
+    (neddf/nn_module/with_grad/linear.py:14-46) but as one batched matmul.
+    """
+    m, k, c = d.shape
+    out = (d.reshape(m * k, c) @ w).reshape(m, k, w.shape[-1])
+    if b is not None:
+        out = out.at[:, 0, :].add(b)
+    return out
+
+
+def act_dual(
+    d: Array,
+    f: Callable[[Array], Array],
+    dfdx: Callable[[Array], Array],
+) -> Array:
+    """Elementwise activation on a dual tensor (chain rule on tangents)."""
+    y = d[..., 0:1, :]
+    return jnp.concatenate([f(y), dfdx(y) * d[..., 1:, :]], axis=-2)
+
+
+def pe_dual(x: Array, rank: int, scale: Optional[Array] = None) -> Array:
+    """Positional encoding emitting a dual tensor [M, 4, 6R].
+
+    Matches PositionalEncodingGradLayer.forward with the identity input
+    Jacobian (with_grad/positional_encoding.py:34-87): the tangent rows
+    are the exact d(scale * sin/cos(freq * x_i))/d(x_a), i.e. nonzero only
+    where the channel's input axis i equals the tangent axis a.
+
+    Args:
+        x: [M, 3] positions.
+        rank: PE rank R.
+        scale: broadcastable against [M, R*3]; applied to BOTH value and
+            tangent rows (the reference scales y and G identically).
+    """
+    m, input_dim = x.shape
+    freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
+    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    if scale is None:
+        scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
+    sin_p, cos_p = jnp.sin(p), jnp.cos(p)
+    y = jnp.concatenate([scale * sin_p, scale * cos_p], axis=-1)  # [M, 6R]
+
+    freq_rep = jnp.repeat(freq, input_dim)[None, :]  # [1, R*3]
+    # d(phase_k)/d(x_a) = freq * delta(a == i(k)) in the (t, i) layout
+    onehot = jnp.tile(jnp.eye(input_dim, dtype=x.dtype), (1, rank))  # [3, R*3]
+    g_sin = (scale * freq_rep * cos_p)[:, None, :] * onehot[None, :, :]
+    g_cos = (-scale * freq_rep * sin_p)[:, None, :] * onehot[None, :, :]
+    jac = jnp.concatenate([g_sin, g_cos], axis=-1)  # [M, 3, 6R]
+    return pack_dual(y, jac)
+
+
+def mlp_dual(
+    d: Array,
+    weights: Tuple[Array, ...],
+    biases: Tuple[Array, ...],
+    f: Callable[[Array], Array],
+    dfdx: Callable[[Array], Array],
+    skips: Tuple[int, ...] = (),
+    skip_input: Optional[Array] = None,
+) -> Array:
+    """Run a dual tensor through Linear+act layers with skip re-concat.
+
+    After layer index ``i in skips`` the (dual) skip_input is concatenated
+    in FRONT of the hidden state, matching NeDDF's ordering
+    (neddf/network/neddf.py:214-219: cat([embed, hx])).
+    """
+    if skip_input is None:
+        skip_input = d
+    h = d
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        h = act_dual(linear_dual(h, w, b), f, dfdx)
+        if i in skips:
+            h = jnp.concatenate([skip_input, h], axis=-1)
+    return h

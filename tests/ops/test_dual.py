@@ -1,0 +1,131 @@
+"""Dual-tensor algebra vs. finite differences and jacfwd.
+
+Mirrors the reference's most important test pattern
+(tests/nn_module/with_grad/*): the forward-propagated Jacobian must match
+numerical differentiation, and reverse-mode gradients THROUGH the
+Jacobian (second derivatives) must match autodiff of the explicit
+jacobian program.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neddf_tpu.ops import ACTIVATIONS
+from neddf_tpu.ops.dual import (
+    act_dual,
+    dual_jacobian,
+    dual_value,
+    linear_dual,
+    pack_dual,
+    pe_dual,
+)
+
+
+def numerical_jacobian(f, x, eps=1e-4):
+    """[M, C_out, 3] finite-difference Jacobian of f: [M,3]->[M,C]."""
+    cols = []
+    for a in range(x.shape[1]):
+        dx = np.zeros_like(x)
+        dx[:, a] = eps
+        cols.append((f(x + dx) - f(x - dx)) / (2 * eps))
+    return np.stack(cols, axis=1)  # [M, 3, C]
+
+
+@pytest.mark.parametrize("rank", [4, 10])
+def test_pe_dual_matches_finite_difference(rank, rng):
+    x = rng.standard_normal((8, 3)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, size=(1, rank * 3)).astype(np.float32)
+
+    d = pe_dual(jnp.asarray(x), rank, jnp.asarray(scale))
+    f = lambda z: np.asarray(pe_dual(jnp.asarray(z), rank, jnp.asarray(scale)))[:, 0]
+    num_j = numerical_jacobian(f, x)
+    np.testing.assert_allclose(dual_jacobian(d), num_j, rtol=1e-2, atol=2e-2)
+
+
+def test_linear_dual_propagates_jacobian(rng):
+    x = rng.standard_normal((6, 5)).astype(np.float32)
+    j = rng.standard_normal((6, 3, 5)).astype(np.float32)
+    w = rng.standard_normal((5, 7)).astype(np.float32)
+    b = rng.standard_normal(7).astype(np.float32)
+
+    d = linear_dual(pack_dual(jnp.asarray(x), jnp.asarray(j)), jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(dual_value(d), x @ w + b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dual_jacobian(d), j @ w, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["ReLU", "LeakyReLU", "tanhExp", "Softplus", "Sigmoid"])
+def test_act_dual_chain_rule(name, rng):
+    f, df = ACTIVATIONS[name]
+    x = rng.standard_normal((16, 4)).astype(np.float32) * 2
+    j = rng.standard_normal((16, 3, 4)).astype(np.float32)
+
+    d = act_dual(pack_dual(jnp.asarray(x), jnp.asarray(j)), f, df)
+    np.testing.assert_allclose(dual_value(d), f(jnp.asarray(x)), rtol=1e-5, atol=1e-6)
+
+    # df against jax.grad of f
+    g_auto = jax.vmap(jax.vmap(jax.grad(lambda v: f(v))))(jnp.asarray(x))
+    np.testing.assert_allclose(df(jnp.asarray(x)), g_auto, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        dual_jacobian(d), np.asarray(df(jnp.asarray(x)))[:, None, :] * j, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dual_mlp_matches_jacfwd(rng):
+    """Full 2-layer dual MLP Jacobian == jax.jacfwd of the plain MLP."""
+    from neddf_tpu.ops.dual import mlp_dual
+
+    f, df = ACTIVATIONS["tanhExp"]
+    rank = 4
+    w1 = rng.standard_normal((rank * 6, 16)).astype(np.float32) * 0.3
+    b1 = rng.standard_normal(16).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((16, 8)).astype(np.float32) * 0.3
+    b2 = rng.standard_normal(8).astype(np.float32) * 0.1
+    x = rng.standard_normal((5, 3)).astype(np.float32)
+
+    def plain(pos):
+        from neddf_tpu.ops.pe import positional_encoding
+
+        h = positional_encoding(pos[None, :], rank)[0]
+        h = f(h @ w1 + b1)
+        h = f(h @ w2 + b2)
+        return h
+
+    d = mlp_dual(
+        pe_dual(jnp.asarray(x), rank),
+        (jnp.asarray(w1), jnp.asarray(w2)),
+        (jnp.asarray(b1), jnp.asarray(b2)),
+        f,
+        df,
+    )
+    jac_ref = jax.vmap(jax.jacfwd(plain))(jnp.asarray(x))  # [M, 8, 3]
+    np.testing.assert_allclose(
+        dual_jacobian(d), jnp.swapaxes(jac_ref, 1, 2), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_reverse_over_forward(rng):
+    """Gradients THROUGH the dual Jacobian (2nd derivatives) match autodiff
+    of an explicit jacfwd program — the property the reference verifies in
+    tests/nn_module/with_grad/test_activations.py."""
+    f, df = ACTIVATIONS["Softplus"]
+    w = rng.standard_normal((6, 4)).astype(np.float32) * 0.5
+    x = rng.standard_normal((3, 3)).astype(np.float32)
+    rank = 1
+
+    def loss_dual(pos):
+        d = act_dual(linear_dual(pe_dual(pos, rank), jnp.asarray(w)), f, df)
+        return jnp.sum(jnp.square(dual_jacobian(d)))
+
+    def loss_jacfwd(pos):
+        def plain(p):
+            from neddf_tpu.ops.pe import positional_encoding
+
+            return f(positional_encoding(p[None, :], rank)[0] @ jnp.asarray(w))
+
+        jac = jax.vmap(jax.jacfwd(plain))(pos)
+        return jnp.sum(jnp.square(jac))
+
+    g1 = jax.grad(loss_dual)(jnp.asarray(x))
+    g2 = jax.grad(loss_jacfwd)(jnp.asarray(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
