@@ -1,0 +1,226 @@
+"""NeDDF: Neural Density-Distance Field with analytic spatial Jacobians.
+
+Behavioural twin of neddf/network/neddf.py:52-326 (the paper model,
+arXiv:2207.14455), rebuilt on the dense dual tensor from
+neddf_tpu.ops.dual instead of the reference's hand-written autograd
+Functions. Parity-critical details preserved:
+
+* DDF trunk input PE is scaled by grad_scale * lowpass * pe_weights;
+  the color branch PE omits grad_scale (neddf.py:200-209).
+* skip concat order [embed, hx] (neddf.py:214-219) — opposite of NeRF.
+* distance = softplus(head) + d_near; density = density_act(
+  (1/D) * (1 - ||[grad D, aux]||)) (neddf.py:220-240).
+* aux head: sigmoid scaled by the aux_grad_scale warmup.
+* color branch consumes [PE(pos), PE(dir), stop_grad(normalized grad D),
+  features] with Jacobian rows [PE_J, 0, features_J] (neddf.py:243-257).
+* six field-constraint penalties with the reference's stop_gradient
+  placements and its quirk that a penalty key missing from
+  penalty_weight enters the sum UNWEIGHTED (neddf.py:296-300).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neddf_tpu.fields.base import BaseField, Schedule, linear_init_xavier_normal
+from neddf_tpu.geometry.rays import Sampling
+from neddf_tpu.ops.activations import ACTIVATIONS, relu, sigmoid, sigmoid_deriv, softplus, softplus_deriv
+from neddf_tpu.ops.dual import (
+    act_dual,
+    dual_jacobian,
+    dual_value,
+    linear_dual,
+    pe_dual,
+)
+from neddf_tpu.ops.pe import pe_grad_scale, pe_lowpass_scale, pe_weights, positional_encoding
+
+Array = jax.Array
+
+_DEFAULT_PENALTY_WEIGHT = {
+    "constraints_aux_grad": 0.05,
+    "constraints_dDdt": 0.05,
+    "constraints_color": 0.01,
+    "range_distance": 1.0,
+    "range_aux_grad": 1.0,
+}
+
+
+@dataclass(frozen=True)
+class NeDDF(BaseField):
+    embed_pos_rank: int = 10
+    embed_dir_rank: int = 4
+    ddf_layer_count: int = 8
+    ddf_layer_width: int = 256
+    col_layer_count: int = 8
+    col_layer_width: int = 256
+    activation_type: str = "tanhExp"
+    density_activation_type: str = "ReLU"
+    d_near: float = 0.01
+    lowpass_alpha_offset: float = 10.0
+    skips: Tuple[int, ...] = (4,)
+    penalty_weight: Optional[Tuple[Tuple[str, float], ...]] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "skips", tuple(self.skips))
+        pw = self.penalty_weight
+        if pw is None:
+            pw = _DEFAULT_PENALTY_WEIGHT
+        if isinstance(pw, dict):
+            pw = tuple(sorted(pw.items()))
+        object.__setattr__(self, "penalty_weight", tuple(pw))
+
+    @property
+    def input_ddf_dim(self) -> int:
+        return self.embed_pos_rank * 6
+
+    @property
+    def input_col_dim(self) -> int:
+        return (self.embed_pos_rank + self.embed_dir_rank) * 6 + 3 + self.ddf_layer_width
+
+    def init(self, key: Array):
+        n_ddf = self.ddf_layer_count - 1
+        n_col = self.col_layer_count - 1
+        keys = jax.random.split(key, n_ddf + n_col + 3)
+        w, cw = self.ddf_layer_width, self.col_layer_width
+
+        layers_ddf = [linear_init_xavier_normal(keys[0], self.input_ddf_dim, w)]
+        for layer_id in range(self.ddf_layer_count - 2):
+            fan_in = w + self.input_ddf_dim if layer_id in self.skips else w
+            layers_ddf.append(linear_init_xavier_normal(keys[1 + layer_id], fan_in, w))
+
+        layers_col = [linear_init_xavier_normal(keys[n_ddf], self.input_col_dim, cw)]
+        for i in range(self.col_layer_count - 2):
+            layers_col.append(linear_init_xavier_normal(keys[n_ddf + 1 + i], cw, cw))
+
+        return {
+            "layers_ddf": layers_ddf,
+            "layers_col": layers_col,
+            "layer_ddf_out": linear_init_xavier_normal(keys[-3], w, 1),
+            "layer_aux_out": linear_init_xavier_normal(keys[-2], w, 1),
+            "layer_col_out": linear_init_xavier_normal(keys[-1], cw, 3),
+        }
+
+    def schedule(self, iteration) -> Schedule:
+        """Warmups from NeDDF.set_iter (neddf.py:311-326); iteration == -1
+        (or any negative) selects eval values."""
+        it = jnp.asarray(iteration, jnp.float32)
+        is_eval = it < 0
+        return Schedule(
+            lowpass_alpha=jnp.where(
+                is_eval,
+                jnp.float32(self.embed_pos_rank),
+                self.lowpass_alpha_offset + 0.001 * it,
+            ),
+            aux_grad_scale=jnp.where(
+                is_eval, jnp.float32(1.1), jnp.clip(0.0001 * it, 0.01, 1.1)
+            ),
+            distance_range_max=jnp.where(
+                is_eval, jnp.float32(2.0), jnp.minimum(2.0, 2.0 + 0.0001 * it)
+            ),
+        )
+
+    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+        batch_size, sampling_size = sampling.sample_pos.shape[:2]
+        act, dact = ACTIVATIONS[self.activation_type]
+        density_act, _ = ACTIVATIONS[self.density_activation_type]
+        sg = jax.lax.stop_gradient
+
+        pos = sampling.sample_pos.reshape(-1, 3)
+        direction = sampling.sample_dir.reshape(-1, 3)
+        var = sampling.diag_variance.reshape(-1, 3)
+
+        grad_scale = pe_grad_scale(self.embed_pos_rank)
+        lowpass = pe_lowpass_scale(self.embed_pos_rank, sched.lowpass_alpha)
+        weights = pe_weights(var, self.embed_pos_rank)
+        embed_scaled = pe_dual(pos, self.embed_pos_rank, grad_scale * lowpass * weights)
+        embed_plain = pe_dual(pos, self.embed_pos_rank, lowpass * weights)
+        embed_dir = positional_encoding(direction, self.embed_dir_rank)
+
+        # --- DDF trunk on dual tensors -----------------------------------
+        h = embed_scaled
+        for layer_id, layer in enumerate(params["layers_ddf"]):
+            h = act_dual(linear_dual(h, layer["w"], layer["b"]), act, dact)
+            if layer_id in self.skips:
+                h = jnp.concatenate([embed_scaled, h], axis=-1)
+        features = h  # dual [M, 4, W]
+
+        ddf = linear_dual(h, params["layer_ddf_out"]["w"], params["layer_ddf_out"]["b"])
+        ddf_out = dual_value(ddf)  # [M, 1] pre-activation (for range penalty)
+        dist_dual = act_dual(ddf, softplus, softplus_deriv)
+        distance = dual_value(dist_dual) + self.d_near  # [M, 1]
+        distance_grad = dual_jacobian(dist_dual)[:, :, 0]  # [M, 3]
+
+        aux = linear_dual(h, params["layer_aux_out"]["w"], params["layer_aux_out"]["b"])
+        aux_out = dual_value(aux)  # [M, 1] pre-activation
+        aux_dual = act_dual(aux, sigmoid, sigmoid_deriv)
+        aux_grad = sched.aux_grad_scale * dual_value(aux_dual)  # [M, 1]
+        aux_gg = sched.aux_grad_scale * dual_jacobian(aux_dual)[:, :, 0]  # [M, 3]
+
+        # --- density from the distance field's spatial gradient ----------
+        nabla_distance = jnp.concatenate([distance_grad, aux_grad], axis=1)  # [M, 4]
+        distance_grad_norm = jnp.linalg.norm(distance_grad, axis=1, keepdims=True)
+        d_ddt = jnp.linalg.norm(nabla_distance, axis=1, keepdims=True)
+        distance_inv = 1.0 / distance
+        density = density_act(distance_inv * (1.0 - d_ddt))
+        norm_dir = distance_grad / (distance_grad_norm + 1e-7)
+
+        # --- color branch (dual, to get colorJ for the penalty) ----------
+        m = pos.shape[0]
+        col_y = jnp.concatenate(
+            [dual_value(embed_plain), embed_dir, sg(norm_dir), dual_value(features)],
+            axis=1,
+        )
+        col_j = jnp.concatenate(
+            [
+                dual_jacobian(embed_plain),
+                jnp.zeros((m, 3, embed_dir.shape[1] + 3), col_y.dtype),
+                dual_jacobian(features),
+            ],
+            axis=2,
+        )
+        hc = jnp.concatenate([col_y[:, None, :], col_j], axis=1)
+        for layer in params["layers_col"]:
+            hc = act_dual(linear_dual(hc, layer["w"], layer["b"]), act, dact)
+        col = linear_dual(hc, params["layer_col_out"]["w"], params["layer_col_out"]["b"])
+        color = dual_value(col)  # [M, 3]
+        color_j = dual_jacobian(col)  # [M, 3, 3]
+
+        # --- field-constraint penalties (stop_gradient placements match
+        #     neddf.py:259-300) ------------------------------------------
+        penalties: Dict[str, Array] = {}
+        d2d_dwdt = jnp.sum(aux_gg * norm_dir, axis=1, keepdims=True)
+        d2d_dwdt_rest = 3.0 * aux_grad * sg(distance_inv)
+        ag_scale = sg(aux_grad) * sg(distance_grad_norm) * sg(distance)
+        penalties["constraints_aux_grad"] = ag_scale * jnp.square(
+            d2d_dwdt - d2d_dwdt_rest
+        )
+        penalties["constraints_dDdt"] = jnp.square(relu(d_ddt - 1.0))
+        penalties["range_distance"] = jnp.square(
+            relu(-4.6 - ddf_out) + relu(ddf_out - sched.distance_range_max)
+        )
+        penalties["range_aux_grad"] = jnp.square(
+            relu(-4.6 - aux_out) + relu(aux_out - 4.6)
+        )
+        penalties["range_color"] = jnp.sum(
+            jnp.square(relu(-color) + relu(color - 1.0)), axis=1, keepdims=True
+        )
+        penalties["constraints_color"] = jnp.sum(
+            jnp.square(jnp.sum(color_j * sg(distance_grad)[:, :, None], axis=1)),
+            axis=1,
+            keepdims=True,
+        )
+        weight_map = dict(self.penalty_weight)
+        fields_penalty = sum(
+            weight_map.get(k, 1.0) * v for k, v in penalties.items()
+        )
+
+        return {
+            "distance": distance.reshape(batch_size, sampling_size),
+            "density": density.reshape(batch_size, sampling_size),
+            "color": color.reshape(batch_size, sampling_size, 3),
+            "fields_penalty": fields_penalty.reshape(batch_size, sampling_size),
+            "aux_grad": aux_grad.reshape(batch_size, sampling_size),
+        }

@@ -1,0 +1,117 @@
+"""NeRF radiance field (plain MLP, no spatial Jacobian).
+
+Behavioural twin of neddf/network/nerf.py:34-178 with the reference's
+quirks preserved:
+
+* skip concat order is ``[hx, embed_pos]`` (the OPPOSITE of NeDDF's),
+  nerf.py:152-155.
+* trunk has ``layer_count`` linears (1 + (layer_count-1)); the layer
+  AFTER skip index 4 takes width+input_pos_dim inputs.
+* no sigmoid on color / relu applied via density_activation only;
+  color head is Linear -> ReLU -> Linear (nerf.py:99-103).
+* PE of position is scaled by lowpass * mip pe_weights; PE of direction
+  is unscaled.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neddf_tpu.fields.base import (
+    BaseField,
+    Schedule,
+    linear_apply,
+    linear_init_torch_default,
+)
+from neddf_tpu.geometry.rays import Sampling
+from neddf_tpu.ops.activations import ACTIVATIONS
+from neddf_tpu.ops.pe import pe_lowpass_scale, pe_weights, positional_encoding
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class NeRF(BaseField):
+    embed_pos_rank: int = 10
+    embed_dir_rank: int = 4
+    layer_count: int = 8
+    layer_width: int = 256
+    activation_type: str = "ReLU"
+    density_activation_type: str = "ReLU"
+    lowpass_alpha_offset: float = 10.0
+    skips: Tuple[int, ...] = (4,)
+
+    def __post_init__(self):
+        object.__setattr__(self, "skips", tuple(self.skips))
+
+    @property
+    def input_pos_dim(self) -> int:
+        return self.embed_pos_rank * 6
+
+    @property
+    def input_dir_dim(self) -> int:
+        return self.embed_dir_rank * 6
+
+    def init(self, key: Array):
+        keys = jax.random.split(key, self.layer_count + 3)
+        width = self.layer_width
+        layers = [linear_init_torch_default(keys[0], self.input_pos_dim, width)]
+        for layer_id in range(self.layer_count - 1):
+            fan_in = width + self.input_pos_dim if layer_id in self.skips else width
+            layers.append(linear_init_torch_default(keys[1 + layer_id], fan_in, width))
+        return {
+            "layers": layers,
+            "outL_density": linear_init_torch_default(keys[-3], width, 1),
+            "outL_color": [
+                linear_init_torch_default(
+                    keys[-2], width + self.input_dir_dim, width // 2
+                ),
+                linear_init_torch_default(keys[-1], width // 2, 3),
+            ],
+        }
+
+    def schedule(self, iteration) -> Schedule:
+        it = jnp.asarray(iteration, jnp.float32)
+        alpha = jnp.where(
+            it < 0,
+            jnp.float32(self.embed_pos_rank),
+            self.lowpass_alpha_offset + 0.001 * it,
+        )
+        return Schedule(
+            lowpass_alpha=alpha,
+            aux_grad_scale=jnp.float32(1.0),
+            distance_range_max=jnp.float32(2.0),
+        )
+
+    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+        batch_size, sampling_size = sampling.sample_pos.shape[:2]
+        act, _ = ACTIVATIONS[self.activation_type]
+        density_act, _ = ACTIVATIONS[self.density_activation_type]
+
+        pos = sampling.sample_pos.reshape(-1, 3)
+        direction = sampling.sample_dir.reshape(-1, 3)
+        var = sampling.diag_variance.reshape(-1, 3)
+
+        lowpass = pe_lowpass_scale(self.embed_pos_rank, sched.lowpass_alpha)
+        weights = pe_weights(var, self.embed_pos_rank)
+        embed_pos = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
+        embed_dir = positional_encoding(direction, self.embed_dir_rank)
+
+        hx = embed_pos
+        for layer_id, layer in enumerate(params["layers"]):
+            hx = act(linear_apply(layer, hx))
+            if layer_id in self.skips:
+                hx = jnp.concatenate([hx, embed_pos], axis=1)
+        density = density_act(linear_apply(params["outL_density"], hx))
+
+        h = jnp.concatenate([hx, embed_dir], axis=1)
+        h = jax.nn.relu(linear_apply(params["outL_color"][0], h))
+        color = linear_apply(params["outL_color"][1], h)
+
+        return {
+            "density": density.reshape(batch_size, sampling_size),
+            "color": color.reshape(batch_size, sampling_size, 3),
+        }

@@ -1,0 +1,122 @@
+"""NeuS: SDF field with logistic-density conversion.
+
+Behavioural twin of neddf/network/neus.py:30-162. The reference obtains
+surface normals via reverse-mode ``torch.autograd.grad(create_graph=True)``
+(neus.py:133-142); here that is ``jax.value_and_grad`` over the sdf sum
+(valid because each sample's sdf depends only on its own position), which
+stays differentiable for the outer training loss.
+
+Reference quirks preserved:
+
+* sdf is the FIRST CHANNEL of the activated trunk features, not a
+  separate head (neus.py:130).
+* the color branch applies the activation after EVERY layer including
+  the final 3-channel one (neus.py:148-150).
+* density = 10 s * e / (1 + e)^2 with e = exp(-10 s * sdf) and trainable
+  scalar s (init_variance), neus.py:152-155.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neddf_tpu.fields.base import (
+    BaseField,
+    Schedule,
+    linear_apply,
+    linear_init_torch_default,
+)
+from neddf_tpu.geometry.rays import Sampling
+from neddf_tpu.ops.activations import ACTIVATIONS
+from neddf_tpu.ops.pe import positional_encoding
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class NeuS(BaseField):
+    embed_pos_rank: int = 6
+    embed_dir_rank: int = 4
+    sdf_layer_count: int = 8
+    sdf_layer_width: int = 256
+    col_layer_count: int = 8
+    col_layer_width: int = 256
+    activation_type: str = "ReLU"
+    init_variance: float = 0.3
+    skips: Tuple[int, ...] = (4,)
+
+    def __post_init__(self):
+        object.__setattr__(self, "skips", tuple(self.skips))
+
+    @property
+    def input_sdf_dim(self) -> int:
+        return self.embed_pos_rank * 6
+
+    @property
+    def input_col_dim(self) -> int:
+        return 6 + self.embed_dir_rank * 6 + self.sdf_layer_width
+
+    def init(self, key: Array):
+        n_sdf = self.sdf_layer_count  # 1 + (count-1)
+        n_col = self.col_layer_count + 1  # 1 + (count-1) + final 3-ch
+        keys = jax.random.split(key, n_sdf + n_col)
+        w, cw = self.sdf_layer_width, self.col_layer_width
+
+        layers_sdf = [linear_init_torch_default(keys[0], self.input_sdf_dim, w)]
+        for layer_id in range(self.sdf_layer_count - 1):
+            fan_in = w + self.input_sdf_dim if layer_id in self.skips else w
+            layers_sdf.append(linear_init_torch_default(keys[1 + layer_id], fan_in, w))
+
+        layers_col = [linear_init_torch_default(keys[n_sdf], self.input_col_dim, cw)]
+        for i in range(self.col_layer_count - 1):
+            layers_col.append(linear_init_torch_default(keys[n_sdf + 1 + i], cw, cw))
+        layers_col.append(linear_init_torch_default(keys[-1], cw, 3))
+
+        return {
+            "layers_sdf": layers_sdf,
+            "layers_col": layers_col,
+            "variance": jnp.float32(self.init_variance),
+        }
+
+    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+        del sched  # NeuS has no warmups in the reference
+        batch_size, sampling_size = sampling.sample_pos.shape[:2]
+        act, _ = ACTIVATIONS[self.activation_type]
+
+        pos = sampling.sample_pos.reshape(-1, 3)
+        direction = sampling.sample_dir.reshape(-1, 3)
+
+        def trunk(p: Array) -> Array:
+            embed_pos = positional_encoding(p, self.embed_pos_rank)
+            hx = embed_pos
+            for layer_id, layer in enumerate(params["layers_sdf"]):
+                hx = act(linear_apply(layer, hx))
+                if layer_id in self.skips:
+                    hx = jnp.concatenate([hx, embed_pos], axis=1)
+            return hx
+
+        def sdf_sum(p: Array):
+            hx = trunk(p)
+            return jnp.sum(hx[:, 0]), hx
+
+        (_, sdf_feature), gradients = jax.value_and_grad(sdf_sum, has_aux=True)(pos)
+        sdf = sdf_feature[:, :1]
+
+        embed_dir = positional_encoding(direction, self.embed_dir_rank)
+        hx = jnp.concatenate([pos, embed_dir, gradients, sdf_feature], axis=1)
+        for layer in params["layers_col"]:
+            hx = act(linear_apply(layer, hx))
+        color = hx
+
+        s10 = params["variance"] * 10.0
+        ex = jnp.exp(-s10 * sdf)
+        density = s10 * ex / jnp.square(1.0 + ex)
+
+        return {
+            "sdf": sdf.reshape(batch_size, sampling_size),
+            "density": density.reshape(batch_size, sampling_size),
+            "color": color.reshape(batch_size, sampling_size, 3),
+        }

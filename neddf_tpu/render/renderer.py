@@ -1,0 +1,261 @@
+"""Volume renderer: coarse stratified + hierarchical fine sampling.
+
+Behavioural twin of neddf/render/nerf_render.py:20-336 (the reference's
+only concrete renderer, used for NeRF *and* NeDDF configs) redesigned as
+pure functions over parameter pytrees:
+
+* ``render_rays`` is fully traced (one XLA program: ray gen -> coarse
+  field -> compositing -> inverse-CDF resample -> fine field ->
+  compositing -> penalty integrals), jitted by the trainer.
+* ``render_image`` runs chunked no-grad renders with a single compiled
+  program (last chunk padded) instead of a varying-shape chunk loop.
+* warmup state is an explicit ``iteration`` argument; -1 = eval.
+
+Parity details: cone radius 1/1111/sqrt(12) for the fixed-FOV blender
+scenes (nerf_render.py:145), coarse results re-keyed ``*_coarse``
+(:185-187), per-key penalty integrals sum(delta * p[:, :-1]) (:153-159),
+fine dists sampled under stop_gradient (:161-166).
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neddf_tpu import config as config_lib
+from neddf_tpu.fields.base import BaseField
+from neddf_tpu.geometry.camera import PinholeCalib, create_rays
+from neddf_tpu.geometry.rays import Sampling, get_sampling_cones, get_sampling_points
+from neddf_tpu.ops.compositing import integrate_volume_render
+from neddf_tpu.ops.sampling import sample_pdf, stratified_dists
+
+Array = jax.Array
+
+RENDER_TARGETS = ("color", "depth", "transmittance")
+
+# fixed-FOV cone radius: 1/1111/sqrt(12) for view angle 0.6911 rad
+# (nerf_render.py:144-146)
+_CONE_RAY_RADIUS = 1.0 / 1111.0 / math.sqrt(12.0)
+
+
+class NeRFRender:
+    """Static renderer config + pure rendering functions."""
+
+    def __init__(
+        self,
+        network_config: Dict[str, Any],
+        sample_coarse: int = 128,
+        sample_fine: int = 128,
+        dist_near: float = 2.0,
+        dist_far: float = 6.0,
+        max_dist: float = 6.0,
+        use_coarse_network: bool = True,
+        sampling_type: str = "point",
+    ) -> None:
+        self.network_fine: BaseField = config_lib.instantiate(network_config)
+        # when not use_coarse_network the coarse net IS the fine net
+        # (shared params), matching nerf_render.py:70-75
+        self.network_coarse: BaseField = (
+            config_lib.instantiate(network_config)
+            if use_coarse_network
+            else self.network_fine
+        )
+        self.use_coarse_network = use_coarse_network
+        self.sample_coarse = sample_coarse
+        self.sample_fine = sample_fine
+        self.dist_near = dist_near
+        self.dist_far = dist_far
+        self.max_dist = max_dist
+        self.sampling_type = sampling_type
+
+    # ---------------------------------------------------------------- init
+    def init(self, key: Array):
+        k_fine, k_coarse = jax.random.split(key)
+        params = {"network_fine": self.network_fine.init(k_fine)}
+        if self.use_coarse_network:
+            params["network_coarse"] = self.network_coarse.init(k_coarse)
+        return params
+
+    def _coarse_params(self, params):
+        return params["network_coarse"] if self.use_coarse_network else params["network_fine"]
+
+    # ---------------------------------------------------------- render_rays
+    def render_rays(
+        self,
+        params,
+        calib: PinholeCalib,
+        pose_r: Array,
+        pose_t: Array,
+        uv: Array,
+        key: Array,
+        iteration,
+    ) -> Dict[str, Array]:
+        """Render a batch of rays; fully traceable under jit.
+
+        Args:
+            params: renderer parameter pytree.
+            calib / pose_r / pose_t: camera intrinsics and world pose.
+            uv: [B, 2] integer pixel positions.
+            key: PRNG key (stratified jitter + CDF draws).
+            iteration: warmup step; -1 for eval.
+
+        Returns:
+            dict of per-ray integrals incl. ``*_coarse`` duplicates and
+            integrated ``*penalty*`` keys.
+        """
+        batch_size = uv.shape[0]
+        k_strat, k_pdf = jax.random.split(key)
+        rays = create_rays(calib, pose_r, pose_t, uv)
+
+        dists_coarse = stratified_dists(
+            k_strat, batch_size, self.sample_coarse, self.dist_near, self.dist_far
+        )
+        samples_coarse = self._make_sampling(rays, dists_coarse)
+
+        sched_coarse = self.network_coarse.schedule(iteration)
+        values_coarse = self.network_coarse.apply(
+            self._coarse_params(params), samples_coarse, sched_coarse
+        )
+        integrate_coarse = integrate_volume_render(
+            dists_coarse, values_coarse["density"], values_coarse["color"], self.max_dist
+        )
+        delta_coarse = jax.lax.stop_gradient(
+            dists_coarse[:, 1:] - dists_coarse[:, :-1]
+        )
+        for k, v in values_coarse.items():
+            if "penalty" in k:
+                integrate_coarse[k] = jnp.sum(
+                    delta_coarse * v.reshape(batch_size, -1)[:, :-1], axis=1
+                )
+
+        dists_fine = jax.lax.stop_gradient(
+            sample_pdf(
+                k_pdf, dists_coarse, integrate_coarse["weight"], self.sample_fine + 1
+            )
+        )
+        samples_fine = self._make_sampling(rays, dists_fine)
+        sched_fine = self.network_fine.schedule(iteration)
+        values_fine = self.network_fine.apply(
+            params["network_fine"], samples_fine, sched_fine
+        )
+        integrate = integrate_volume_render(
+            dists_fine, values_fine["density"], values_fine["color"], self.max_dist
+        )
+        delta_fine = jax.lax.stop_gradient(dists_fine[:, 1:] - dists_fine[:, :-1])
+        for k, v in values_fine.items():
+            if "penalty" in k:
+                integrate[k] = jnp.sum(
+                    delta_fine * v.reshape(batch_size, -1)[:, :-1], axis=1
+                )
+
+        for k, v in integrate_coarse.items():
+            integrate[f"{k}_coarse"] = v
+        return integrate
+
+    def _make_sampling(self, rays, dists) -> Sampling:
+        if self.sampling_type == "point":
+            return get_sampling_points(rays, dists)
+        if self.sampling_type == "cone":
+            return get_sampling_cones(rays, dists, _CONE_RAY_RADIUS)
+        raise ValueError(f"unknown sampling_type {self.sampling_type!r}")
+
+    # --------------------------------------------------------- render_image
+    @lru_cache(maxsize=4)
+    def _render_rays_jit(self, chunk: int):
+        del chunk  # cache key only; shapes drive the actual specialisation
+        return jax.jit(
+            lambda params, calib, r, t, uv, key: self.render_rays(
+                params, calib, r, t, uv, key, -1
+            )
+        )
+
+    def render_image(
+        self,
+        params,
+        calib: PinholeCalib,
+        pose_r: Array,
+        pose_t: Array,
+        width: int,
+        height: int,
+        target_types: Iterable[str] = ("color", "depth"),
+        downsampling: int = 1,
+        chunk: int = 512,
+        key: Optional[Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Chunked full-image render (no grad), one compiled program.
+
+        Returns numpy images [h, w, C] per requested target.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        target_types = list(target_types)
+        w = width // downsampling
+        h = height // downsampling
+        us = (np.tile(np.arange(w), h) * downsampling).astype(np.int32)
+        vs = (np.repeat(np.arange(h), w) * downsampling).astype(np.int32)
+        uv_all = np.stack([us, vs], axis=1)
+        n = uv_all.shape[0]
+
+        render_fn = self._render_rays_jit(chunk)
+        outs: Dict[str, List[np.ndarray]] = {k: [] for k in target_types}
+        for below in range(0, n, chunk):
+            above = min(n, below + chunk)
+            uv_chunk = uv_all[below:above]
+            pad = chunk - uv_chunk.shape[0]
+            if pad:
+                uv_chunk = np.pad(uv_chunk, ((0, pad), (0, 0)), mode="edge")
+            key, sub = jax.random.split(key)
+            result = render_fn(params, calib, pose_r, pose_t, jnp.asarray(uv_chunk), sub)
+            for k in target_types:
+                outs[k].append(np.asarray(result[k])[: above - below])
+        return {k: np.concatenate(outs[k], 0).reshape(h, w, -1) for k in target_types}
+
+    # ---------------------------------------------------- render_field_slice
+    def render_field_slice(
+        self,
+        params,
+        slice_t: float = 0.0,
+        render_size: float = 1.1,
+        render_resolution: int = 128,
+    ) -> Dict[str, np.ndarray]:
+        """2D XY slice visualisations of the fields at z = slice_t.
+
+        Matches nerf_render.py:263-336 incl. per-field scales and the JET
+        colormap for single-channel fields.
+        """
+        import cv2
+
+        res = render_resolution
+        line = np.linspace(-render_size, render_size, res, dtype=np.float32)
+        xs = np.broadcast_to(line[None, :], (res, res))
+        ys = np.broadcast_to(-line[:, None], (res, res))
+        zs = np.full((res, res), slice_t, np.float32)
+        pos = np.stack([xs, ys, zs], axis=2)
+        direction = np.zeros((res, res, 3), np.float32)
+        direction[:, :, 2] = 1.0
+        sampling = Sampling(
+            sample_pos=jnp.asarray(pos),
+            sample_dir=jnp.asarray(direction),
+            diag_variance=jnp.zeros((res, res, 3), jnp.float32),
+        )
+        sched = self.network_fine.schedule(-1)
+        values = jax.jit(self.network_fine.apply)(
+            params["network_fine"], sampling, sched
+        )
+        scales = {"distance": 256.0, "density": 12.8, "color": 256.0, "aux_grad": 256.0}
+        fields: Dict[str, np.ndarray] = {}
+        for name, value in values.items():
+            if name not in scales:
+                continue
+            img = scales[name] * np.asarray(value).reshape(res, res, -1)
+            if img.shape[2] == 1:
+                fields[name] = cv2.applyColorMap(
+                    img.clip(0, 255).astype(np.uint8), cv2.COLORMAP_JET
+                )
+            else:
+                fields[name] = img.clip(0, 255).astype(np.uint8)
+        return fields

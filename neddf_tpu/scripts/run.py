@@ -1,0 +1,48 @@
+"""Training entry point (twin of neddf/scripts/run.py).
+
+Usage:
+    python -m neddf_tpu.scripts.run [group=name ...] [a.b.c=value ...]
+
+Composes config/config.yaml with Hydra-style overrides, creates a run
+directory outputs/{date}/{time}, snapshots .hydra/ for later eval
+recomposition, and trains. Seed 3408 honored like the reference.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    repo_root = Path(__file__).resolve().parents[2]
+    from neddf_tpu import config as config_lib
+
+    cfg = config_lib.compose(repo_root / "config", overrides=argv)
+
+    # re-root relative dataset dir against the repo root (run.py:15-16);
+    # fall back to the reference's bundled data when ours is absent
+    ds_dir = Path(cfg["dataset"]["dataset_dir"])
+    if not ds_dir.is_absolute():
+        candidate = repo_root / ds_dir
+        if not candidate.exists() and Path("/root/reference", ds_dir).exists():
+            candidate = Path("/root/reference", ds_dir)
+        cfg["dataset"]["dataset_dir"] = str(candidate)
+
+    # hydra-style run dir outputs/{date}/{time}
+    now = datetime.datetime.now()
+    run_dir = repo_root / "outputs" / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+    run_dir.mkdir(parents=True, exist_ok=True)
+    config_lib.save_snapshot(cfg, argv, run_dir)
+    os.chdir(run_dir)
+    print(f"run dir: {run_dir}")
+
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    trainer.run_train()
+
+
+if __name__ == "__main__":
+    main()

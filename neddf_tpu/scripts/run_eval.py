@@ -1,0 +1,56 @@
+"""Evaluation entry point (twin of neddf/scripts/run_eval.py).
+
+Usage:
+    python -m neddf_tpu.scripts.run_eval <output_dir> [--epoch 2000]
+
+Recomposes the config snapshot saved in <output_dir>/.hydra with the
+override dataset.data_split=test, loads models/model_{epoch:05}.{ckpt,
+pth} (the .pth path accepts checkpoints written by the PyTorch
+reference, e.g. /root/reference/pretrained/bunny_smoke), renders every
+test camera to <output_dir>/eval and prints per-view PSNR/SSIM.
+"""
+from __future__ import annotations
+
+from argparse import ArgumentParser
+from pathlib import Path
+
+
+def main() -> None:
+    parser = ArgumentParser()
+    parser.add_argument("output_dir", type=Path)
+    parser.add_argument("--epoch", type=int, default=2000)
+    parser.add_argument(
+        "--device", type=str, default=None, help="override trainer device"
+    )
+    args = parser.parse_args()
+
+    from neddf_tpu import config as config_lib
+
+    output_dir = args.output_dir.resolve()
+    cfg = config_lib.load_snapshot(output_dir)
+    cfg["dataset"]["data_split"] = "test"
+    if args.device:
+        cfg["trainer"]["device"] = args.device
+
+    # dataset dirs in reference snapshots are relative to their repo
+    ds_dir = Path(cfg["dataset"]["dataset_dir"])
+    if not ds_dir.exists():
+        for root in (Path("/root/repo"), Path("/root/reference")):
+            if (root / ds_dir).exists():
+                cfg["dataset"]["dataset_dir"] = str(root / ds_dir)
+                break
+
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+
+    model_dir = output_dir / "models"
+    ckpt = model_dir / f"model_{args.epoch:05}.ckpt"
+    pth = model_dir / f"model_{args.epoch:05}.pth"
+    trainer.load_pretrained_model(ckpt if ckpt.exists() else pth)
+
+    save_dir = output_dir / "eval"
+    save_dir.mkdir(exist_ok=True)
+    trainer.render_all(save_dir)
+
+
+if __name__ == "__main__":
+    main()

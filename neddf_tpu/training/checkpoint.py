@@ -1,0 +1,112 @@
+"""Checkpointing: msgpack pytree save/load + torch .pth importer.
+
+The reference saves ``neural_render.state_dict()`` to
+``models/model_{epoch:05}.pth`` every 100 epochs (nerf_trainer.py:75-79)
+and loads it for eval/visualisation (base_trainer.py:115-121). Here the
+native format is a flax msgpack of the full training state (params +
+opt_state + iteration + camera deltas — a superset enabling true
+mid-training resume, which the reference lacks), and
+``import_torch_state_dict`` converts the reference's shipped ``.pth``
+(e.g. pretrained/bunny_smoke/models/model_02000.pth) into our parameter
+pytree for eval-parity checks.
+
+Key mapping notes: LinearGradLayer stores weight as [in, out]
+(with_grad/linear.py:115 ``torch.randn(input_ch, output_ch)``) — no
+transpose; plain nn.Linear stores [out, in] — transposed on import.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Union
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from neddf_tpu.fields import NeDDF, NeRF, NeuS
+
+
+def save_pytree(path: Union[str, Path], pytree: Any) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(pytree))
+
+
+def load_pytree(path: Union[str, Path], template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _import_neddf(sd: Dict[str, Any], prefix: str, field: NeDDF) -> Dict[str, Any]:
+    def grad_linear(name: str) -> Dict[str, jnp.ndarray]:
+        return {
+            "w": jnp.asarray(_np(sd[f"{prefix}.{name}.weight"])),  # already [in, out]
+            "b": jnp.asarray(_np(sd[f"{prefix}.{name}.bias"])),
+        }
+
+    return {
+        "layers_ddf": [
+            grad_linear(f"layers_ddf.{i}") for i in range(field.ddf_layer_count - 1)
+        ],
+        "layers_col": [
+            grad_linear(f"layers_col.{i}") for i in range(field.col_layer_count - 1)
+        ],
+        "layer_ddf_out": grad_linear("layer_ddf_out"),
+        "layer_aux_out": grad_linear("layer_aux_out"),
+        "layer_col_out": grad_linear("layer_col_out"),
+    }
+
+
+def _import_nerf(sd: Dict[str, Any], prefix: str, field: NeRF) -> Dict[str, Any]:
+    def torch_linear(name: str) -> Dict[str, jnp.ndarray]:
+        return {
+            "w": jnp.asarray(_np(sd[f"{prefix}.{name}.weight"]).T),  # [out,in] -> [in,out]
+            "b": jnp.asarray(_np(sd[f"{prefix}.{name}.bias"])),
+        }
+
+    return {
+        "layers": [torch_linear(f"layers.{i}") for i in range(field.layer_count)],
+        "outL_density": torch_linear("outL_density"),
+        # Sequential(Linear, ReLU, Linear) -> module indices 0 and 2
+        "outL_color": [torch_linear("outL_color.0"), torch_linear("outL_color.2")],
+    }
+
+
+def _import_neus(sd: Dict[str, Any], prefix: str, field: NeuS) -> Dict[str, Any]:
+    def torch_linear(name: str) -> Dict[str, jnp.ndarray]:
+        return {
+            "w": jnp.asarray(_np(sd[f"{prefix}.{name}.weight"]).T),
+            "b": jnp.asarray(_np(sd[f"{prefix}.{name}.bias"])),
+        }
+
+    return {
+        "layers_sdf": [
+            torch_linear(f"layers_sdf.{i}") for i in range(field.sdf_layer_count)
+        ],
+        "layers_col": [
+            torch_linear(f"layers_col.{i}") for i in range(field.col_layer_count + 1)
+        ],
+        "variance": jnp.asarray(_np(sd[f"{prefix}.variance"])),
+    }
+
+
+def import_torch_state_dict(pth_path: Union[str, Path], renderer) -> Dict[str, Any]:
+    """Convert a reference NeRFRender state_dict (.pth) to our params."""
+    import torch
+
+    sd = torch.load(str(pth_path), map_location="cpu")
+    importers = {NeDDF: _import_neddf, NeRF: _import_nerf, NeuS: _import_neus}
+
+    def import_net(prefix: str, field) -> Dict[str, Any]:
+        return importers[type(field)](sd, prefix, field)
+
+    params = {"network_fine": import_net("network_fine", renderer.network_fine)}
+    if renderer.use_coarse_network:
+        params["network_coarse"] = import_net(
+            "network_coarse", renderer.network_coarse
+        )
+    return params
