@@ -1,0 +1,8 @@
+from neddf_tpu.parallel.mesh import (  # noqa: F401
+    data_sharded,
+    make_mesh,
+    make_sharded_render,
+    make_sharded_train_step,
+    replicated,
+    shard_field_params,
+)

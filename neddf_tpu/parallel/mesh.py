@@ -1,0 +1,166 @@
+"""Device-mesh parallelism: DP over rays + TP over MLP width.
+
+The reference is strictly single-GPU (no torch.distributed anywhere);
+this module is the TPU-native scaling design called for by BASELINE.json:
+ray batches shard across the slice (rays are embarrassingly parallel),
+parameters are replicated (or width-sharded for tensor parallelism on
+wide fields), and XLA/GSPMD inserts the psum for gradient reduction and
+the all-gathers for TP activations — no hand-written collectives.
+
+Mesh axes:
+    data  — ray/pixel batch axis (pure DP; grads psum over ICI)
+    model — MLP width axis (column-parallel weights; optional, size 1
+            by default since the reference fields are only 256 wide)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model != 0:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    arr = np.array(devices).reshape(n // model, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    spec = [None] * (axis + 1)
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def _is_weight(path) -> bool:
+    return any(getattr(k, "key", None) == "w" for k in path[-1:])
+
+
+def shard_field_params(params, mesh: Mesh):
+    """Tensor-parallel placement: weight out-dims and biases shard over
+    'model'; with model=1 this degenerates to replication. GSPMD derives
+    the activation all-gathers / reduce-scatters."""
+
+    model_size = mesh.shape["model"]
+
+    def place(path, leaf):
+        del path
+        if leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
+            # w [in, out] -> column parallel
+            return jax.device_put(leaf, NamedSharding(mesh, P(None, "model")))
+        if leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
+            # bias [out]
+            return jax.device_put(leaf, NamedSharding(mesh, P("model")))
+        # small heads (1- or 3-wide) and scalars replicate
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def make_sharded_train_step(
+    renderer,
+    loss_functions,
+    calib,
+    mesh: Mesh,
+    tx,
+    batch_size: int,
+    image_height: int,
+    image_width: int,
+):
+    """Build a pjit-compiled full training step over the mesh.
+
+    Rays (the sampled pixel batch) shard over 'data'; images and params
+    follow their placement (replicated or TP-sharded); the mean-reduced
+    loss makes GSPMD emit the gradient psum over ICI automatically.
+
+    Returns step(params, opt_state, camera_deltas, rgb_images, mask_images,
+    camera_initials, key, camera_id, iteration) -> (params, opt_state,
+    loss, mse).
+    """
+    from neddf_tpu.geometry.se3 import camera_pose
+
+    def train_step(
+        params, opt_state, camera_deltas, rgb_images, mask_images,
+        camera_initials, key, camera_id, iteration,
+    ):
+        k_u, k_v, k_render = jax.random.split(key, 3)
+        us = jnp.floor(
+            jax.random.uniform(k_u, (batch_size,)) * (image_width - 1)
+        ).astype(jnp.int32)
+        vs = jnp.floor(
+            jax.random.uniform(k_v, (batch_size,)) * (image_height - 1)
+        ).astype(jnp.int32)
+        # pin the ray batch to the data axis; everything downstream
+        # (sampling, field eval, compositing) inherits the sharding
+        us = jax.lax.with_sharding_constraint(us, data_sharded(mesh))
+        vs = jax.lax.with_sharding_constraint(vs, data_sharded(mesh))
+        uv = jnp.stack([us, vs], axis=1)
+
+        rgb_cam = rgb_images[camera_id]
+        mask_cam = mask_images[camera_id]
+        pose_r, pose_t = camera_pose(camera_initials[camera_id], camera_deltas[camera_id])
+
+        targets: Dict[str, Array] = {
+            "color": (1.0 / 256.0) * rgb_cam[vs, us, :],
+            "mask": (1.0 / 256.0) * mask_cam[vs, us],
+            "fields_penalty": jnp.zeros((batch_size,), jnp.float32),
+        }
+
+        def loss_fn(p):
+            render_result = renderer.render_rays(
+                p, calib, pose_r, pose_t, uv, k_render, iteration
+            )
+            loss_dict: Dict[str, Array] = {}
+            for loss_function in loss_functions:
+                if loss_function.key_target not in targets:
+                    continue
+                loss_dict.update(loss_function(render_result, targets))
+            total = sum(loss_dict.values())
+            mse = jnp.mean(jnp.square(render_result["color"] - targets["color"]))
+            return total, mse
+
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, mse
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_sharded_render(renderer, calib, mesh: Mesh):
+    """Eval-time renderer: pixel chunks shard over the FULL mesh (both
+    axes) and the rendered tile returns fully replicated per host — the
+    'all-gather of rendered tiles' from BASELINE.json falls out of the
+    output sharding."""
+
+    every = NamedSharding(mesh, P(("data", "model")))
+
+    def render(params, pose_r, pose_t, uv, key):
+        uv = jax.lax.with_sharding_constraint(uv, every)
+        out = renderer.render_rays(params, calib, pose_r, pose_t, uv, key, -1)
+        return {
+            k: jax.lax.with_sharding_constraint(v, replicated(mesh))
+            for k, v in out.items()
+            if k in ("color", "depth", "transmittance")
+        }
+
+    return jax.jit(render)
