@@ -24,6 +24,11 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    if args.device and args.device.startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from neddf_tpu import config as config_lib
 
     output_dir = args.output_dir.resolve()

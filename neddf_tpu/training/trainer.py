@@ -40,11 +40,23 @@ Array = jax.Array
 
 
 def _resolve_device(device: str):
-    """Map the reference's device strings onto available JAX devices."""
+    """Map the reference's device strings onto available JAX devices.
+
+    ``cpu`` selects the host platform even when the process default is a
+    TPU backend (useful for the offline visualizers, where tunnelled-TPU
+    compile latency dwarfs the compute) — this only works if JAX has not
+    initialised its backends yet, so trainers resolve the device first
+    thing.
+    """
     if device.startswith("cpu"):
         try:
             return jax.devices("cpu")[0]
         except RuntimeError:
+            pass
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices("cpu")[0]
+        except Exception:
             return jax.devices()[0]
     return jax.devices()[0]
 
