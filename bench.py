@@ -52,6 +52,7 @@ def main() -> None:
             "col_layer_count": 4,
             "col_layer_width": 256,
             "d_near": 0.001,
+            "compute_dtype": "bfloat16",
             "penalty_weight": {
                 "constraints_aux_grad": 0.05,
                 "constraints_dDdt": 1.0,

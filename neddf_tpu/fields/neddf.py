@@ -62,6 +62,18 @@ class NeDDF(BaseField):
     lowpass_alpha_offset: float = 10.0
     skips: Tuple[int, ...] = (4,)
     penalty_weight: Optional[Tuple[Tuple[str, float], ...]] = None
+    # dtype for the MLP trunks' stored activations/weights. bfloat16 halves
+    # the HBM activation traffic that dominates the step time on TPU (the
+    # MXU accumulates in f32 either way); the density equation, heads and
+    # penalties always run in f32. Default float32 for bit-parity with the
+    # reference; production TPU configs (config/network/neddf.yaml) set
+    # bfloat16.
+    compute_dtype: str = "float32"
+    # fused Pallas trunk kernel: "auto" uses it on TPU only (the jnp dual
+    # path runs everywhere else, incl. the CPU test mesh); "on"/"off"
+    # force it. The kernel keeps all trunk activations in VMEM (fwd AND
+    # bwd via recompute) — see neddf_tpu/kernels/dual_mlp.py.
+    fused: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
@@ -122,6 +134,57 @@ class NeDDF(BaseField):
             ),
         )
 
+    def _use_fused(self) -> bool:
+        if self.fused == "on":
+            return True
+        if self.fused == "off":
+            return False
+        # trailing skip concat is not expressible as a split weight
+        ok_skips = all(s < self.ddf_layer_count - 2 for s in self.skips)
+        return ok_skips and jax.default_backend() == "tpu"
+
+    def _trunk_fused(self, params, embed_scaled: Array) -> Array:
+        """DDF trunk through the fused Pallas kernel (VMEM-resident)."""
+        from neddf_tpu.kernels.dual_mlp import (
+            dual_mlp,
+            dual_pack_to_planes,
+            pad_rows,
+            planes_to_dual_pack,
+        )
+
+        v0, j0 = dual_pack_to_planes(embed_scaled)
+        v0, m = pad_rows(v0)
+        j0, _ = pad_rows(j0, axis=1)
+        weights = tuple(l["w"] for l in params["layers_ddf"])
+        biases = tuple(l["b"] for l in params["layers_ddf"])
+        # the reference concats AFTER layer s (neddf.py:214-219), so layer
+        # s+1 consumes [embed, h] -> mark it as the split layer
+        layout = tuple(
+            (li - 1) in self.skips for li in range(len(weights))
+        )
+        interp = jax.default_backend() != "tpu"  # CPU tests: interpreter
+        v, j = dual_mlp(v0, j0, weights, biases, layout, self.activation_type, interp)
+        return planes_to_dual_pack(v[:m], j[:, :m])
+
+    def _color_fused(self, params, hc: Array) -> Array:
+        """Color trunk (no skips) through the fused kernel."""
+        from neddf_tpu.kernels.dual_mlp import (
+            dual_mlp,
+            dual_pack_to_planes,
+            pad_rows,
+            planes_to_dual_pack,
+        )
+
+        v0, j0 = dual_pack_to_planes(hc)
+        v0, m = pad_rows(v0)
+        j0, _ = pad_rows(j0, axis=1)
+        weights = tuple(l["w"] for l in params["layers_col"])
+        biases = tuple(l["b"] for l in params["layers_col"])
+        layout = (False,) * len(weights)
+        interp = jax.default_backend() != "tpu"
+        v, j = dual_mlp(v0, j0, weights, biases, layout, self.activation_type, interp)
+        return planes_to_dual_pack(v[:m], j[:, :m])
+
     def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
         act, dact = ACTIVATIONS[self.activation_type]
@@ -140,20 +203,35 @@ class NeDDF(BaseField):
         embed_dir = positional_encoding(direction, self.embed_dir_rank)
 
         # --- DDF trunk on dual tensors -----------------------------------
-        h = embed_scaled
-        for layer_id, layer in enumerate(params["layers_ddf"]):
-            h = act_dual(linear_dual(h, layer["w"], layer["b"]), act, dact)
-            if layer_id in self.skips:
-                h = jnp.concatenate([embed_scaled, h], axis=-1)
-        features = h  # dual [M, 4, W]
+        cd = jnp.dtype(self.compute_dtype)
+        cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
+        if self._use_fused():
+            features = self._trunk_fused(params, embed_scaled)
+        else:
+            h = cast(embed_scaled)
+            for layer_id, layer in enumerate(params["layers_ddf"]):
+                h = act_dual(
+                    linear_dual(h, cast(layer["w"]), cast(layer["b"])), act, dact
+                )
+                if layer_id in self.skips:
+                    h = jnp.concatenate([cast(embed_scaled), h], axis=-1)
+            features = h  # dual [M, 4, W]
 
-        ddf = linear_dual(h, params["layer_ddf_out"]["w"], params["layer_ddf_out"]["b"])
+        ddf = linear_dual(
+            features,
+            cast(params["layer_ddf_out"]["w"]),
+            cast(params["layer_ddf_out"]["b"]),
+        ).astype(jnp.float32)
         ddf_out = dual_value(ddf)  # [M, 1] pre-activation (for range penalty)
         dist_dual = act_dual(ddf, softplus, softplus_deriv)
         distance = dual_value(dist_dual) + self.d_near  # [M, 1]
         distance_grad = dual_jacobian(dist_dual)[:, :, 0]  # [M, 3]
 
-        aux = linear_dual(h, params["layer_aux_out"]["w"], params["layer_aux_out"]["b"])
+        aux = linear_dual(
+            features,
+            cast(params["layer_aux_out"]["w"]),
+            cast(params["layer_aux_out"]["b"]),
+        ).astype(jnp.float32)
         aux_out = dual_value(aux)  # [M, 1] pre-activation
         aux_dual = act_dual(aux, sigmoid, sigmoid_deriv)
         aux_grad = sched.aux_grad_scale * dual_value(aux_dual)  # [M, 1]
@@ -182,9 +260,17 @@ class NeDDF(BaseField):
             axis=2,
         )
         hc = jnp.concatenate([col_y[:, None, :], col_j], axis=1)
-        for layer in params["layers_col"]:
-            hc = act_dual(linear_dual(hc, layer["w"], layer["b"]), act, dact)
-        col = linear_dual(hc, params["layer_col_out"]["w"], params["layer_col_out"]["b"])
+        if self._use_fused():
+            hc = self._color_fused(params, hc)
+        else:
+            hc = cast(hc)
+            for layer in params["layers_col"]:
+                hc = act_dual(
+                    linear_dual(hc, cast(layer["w"]), cast(layer["b"])), act, dact
+                )
+        col = linear_dual(
+            hc, cast(params["layer_col_out"]["w"]), cast(params["layer_col_out"]["b"])
+        ).astype(jnp.float32)
         color = dual_value(col)  # [M, 3]
         color_j = dual_jacobian(col)  # [M, 3, 3]
 

@@ -37,6 +37,60 @@ def load_pytree(path: Union[str, Path], template: Any) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
+class AsyncCheckpointer:
+    """Preemption-safe async checkpointing via Orbax (SURVEY §5.3).
+
+    The reference has no preemption story (manual restart from periodic
+    .pth saves). On TPU pods preemption is routine, so this wraps
+    ``orbax.checkpoint`` with async writes: ``save`` returns immediately
+    while the previous save is finalised in the background; ``wait``
+    blocks until all pending writes are durable (call before exit).
+    Falls back to synchronous msgpack if orbax is unavailable.
+    """
+
+    def __init__(self, directory: Union[str, Path]) -> None:
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        try:
+            import orbax.checkpoint as ocp
+
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(
+                    enable_async_checkpointing=True, max_to_keep=None
+                ),
+            )
+        except Exception:
+            self._mgr = None
+
+    def save(self, step: int, state: Any) -> None:
+        if self._mgr is None:
+            save_pytree(self.directory / f"model_{step:05}.ckpt", state)
+            return
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, step: int, template: Any) -> Any:
+        if self._mgr is None:
+            return load_pytree(self.directory / f"model_{step:05}.ckpt", template)
+        import orbax.checkpoint as ocp
+
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def latest_step(self):
+        if self._mgr is None:
+            steps = sorted(
+                int(p.stem.split("_")[1]) for p in self.directory.glob("model_*.ckpt")
+            )
+            return steps[-1] if steps else None
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+
 def _np(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
 

@@ -23,10 +23,17 @@ class BaseLogger:
         self.batchend = self.loggerstart
         self.niter = 0
 
-    def write(self, loss: float, psnr: float, loss_dict: Dict[str, float]) -> None:
+    def write(
+        self,
+        loss: float,
+        psnr: float,
+        loss_dict: Dict[str, float],
+        rays_per_sec: float = 0.0,
+    ) -> None:
         self.loss = float(loss)
         self.psnr = float(psnr)
         self.loss_dict = {k: float(v) for k, v in loss_dict.items()}
+        self.rays_per_sec = float(rays_per_sec)
 
     def write_batchstart(self) -> None:
         self.batchstart = time()
@@ -41,6 +48,8 @@ class BaseLogger:
             "iteration duration": self.batchend - self.batchstart,
             "total duration": self.batchend - self.loggerstart,
         }
+        if getattr(self, "rays_per_sec", 0.0):
+            log_dict["rays per sec"] = self.rays_per_sec
         for key, val in self.loss_dict.items():
             log_dict[f"objective/{key}"] = val
         self._next_impl(log_dict)

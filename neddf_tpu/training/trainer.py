@@ -76,6 +76,9 @@ class BaseTrainer:
         optimizer_lr: float = 0.0005,
         optimizer_weight_decay: float = 0.0,
         seed: int = 3408,
+        debug_nans: bool = False,
+        profile_trace_start: int = -1,
+        profile_trace_steps: int = 5,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
@@ -89,6 +92,20 @@ class BaseTrainer:
         self.optimizer_lr = optimizer_lr
         self.optimizer_weight_decay = optimizer_weight_decay
         self.seed = seed
+
+        # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
+        if debug_nans:
+            from neddf_tpu.utils.profiling import enable_nan_debugging
+
+            enable_nan_debugging(True)
+        from neddf_tpu.utils.profiling import StepProfiler
+
+        self.profiler = StepProfiler(
+            rays_per_step=batch_size,
+            trace_dir="log/profile" if profile_trace_start >= 0 else None,
+            trace_start=profile_trace_start,
+            trace_steps=profile_trace_steps,
+        )
 
         # dataset (host) + device staging
         self.dataset = config_lib.instantiate(self.config["dataset"])
@@ -223,14 +240,20 @@ class NeRFTrainer(BaseTrainer):
         params,
         opt_state,
         camera_deltas: Array,
+        rgb_images: Array,
+        mask_images: Array,
+        camera_initials: Array,
         key: Array,
         camera_id: Array,
         iteration: Array,
     ):
+        # NOTE: image stacks are real arguments, not closure captures — a
+        # closed-over stack would be baked into the program as hundreds of
+        # MB of constants (and overflow remote-compile transports).
         h = self.dataset.image_height
         w = self.dataset.image_width
-        rgb_cam = self.rgb_images[camera_id]
-        mask_cam = self.mask_images[camera_id]
+        rgb_cam = rgb_images[camera_id]
+        mask_cam = mask_images[camera_id]
 
         k_u, k_v, k_render = jax.random.split(key, 3)
         us = jnp.floor(
@@ -242,7 +265,7 @@ class NeRFTrainer(BaseTrainer):
         uv = jnp.stack([us, vs], axis=1)
 
         pose_r, pose_t = camera_pose(
-            self.camera_initials[camera_id], camera_deltas[camera_id]
+            camera_initials[camera_id], camera_deltas[camera_id]
         )
         targets = self.construct_ground_truth(rgb_cam, mask_cam, us, vs)
 
@@ -266,20 +289,30 @@ class NeRFTrainer(BaseTrainer):
 
     def run_train_step(self, camera_id: int) -> float:
         self.logger.write_batchstart()
+        self.profiler.step_begin()
         self.key, step_key = jax.random.split(self.key)
         self.params, self.opt_state, loss, loss_dict, mse = self._train_step(
             self.params,
             self.opt_state,
             self.camera_deltas,
+            self.rgb_images,
+            self.mask_images,
+            self.camera_initials,
             step_key,
             jnp.int32(camera_id),
             jnp.int32(self.iteration),
         )
-        loss_f = float(loss)
+        loss_f = float(loss)  # device sync
+        rays_per_sec = self.profiler.step_end()
         mse_f = float(mse)
         psnr = 10 * math.log10(1.0 / max(mse_f, 1e-12))
         self.logger.write_batchend()
-        self.logger.write(loss_f, psnr, {k: float(v) for k, v in loss_dict.items()})
+        self.logger.write(
+            loss_f,
+            psnr,
+            {k: float(v) for k, v in loss_dict.items()},
+            rays_per_sec=rays_per_sec,
+        )
         self.logger.next()
         self.iteration += 1
         return loss_f
