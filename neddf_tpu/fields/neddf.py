@@ -143,47 +143,46 @@ class NeDDF(BaseField):
         ok_skips = all(s < self.ddf_layer_count - 2 for s in self.skips)
         return ok_skips and jax.default_backend() == "tpu"
 
-    def _trunk_fused(self, params, embed_scaled: Array) -> Array:
-        """DDF trunk through the fused Pallas kernel (VMEM-resident)."""
-        from neddf_tpu.kernels.dual_mlp import (
-            dual_mlp,
-            dual_pack_to_planes,
-            pad_rows,
-            planes_to_dual_pack,
-        )
+    def _kernel_out_dtype(self) -> str:
+        return "bfloat16" if jnp.dtype(self.compute_dtype) != jnp.float32 else "float32"
 
-        v0, j0 = dual_pack_to_planes(embed_scaled)
-        v0, m = pad_rows(v0)
-        j0, _ = pad_rows(j0, axis=1)
+    def _trunk_fused_planes(self, params, emb_v: Array, emb_j: Array):
+        """DDF trunk through the fused Pallas kernel, planes in/out."""
+        from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
+
+        v0, m = pad_rows(emb_v)
+        j0, _ = pad_rows(emb_j, axis=1)
         weights = tuple(l["w"] for l in params["layers_ddf"])
         biases = tuple(l["b"] for l in params["layers_ddf"])
         # the reference concats AFTER layer s (neddf.py:214-219), so layer
         # s+1 consumes [embed, h] -> mark it as the split layer
-        layout = tuple(
-            (li - 1) in self.skips for li in range(len(weights))
-        )
+        layout = tuple((li - 1) in self.skips for li in range(len(weights)))
         interp = jax.default_backend() != "tpu"  # CPU tests: interpreter
-        v, j = dual_mlp(v0, j0, weights, biases, layout, self.activation_type, interp)
-        return planes_to_dual_pack(v[:m], j[:, :m])
-
-    def _color_fused(self, params, hc: Array) -> Array:
-        """Color trunk (no skips) through the fused kernel."""
-        from neddf_tpu.kernels.dual_mlp import (
-            dual_mlp,
-            dual_pack_to_planes,
-            pad_rows,
-            planes_to_dual_pack,
+        v, j = dual_mlp_seg(
+            (v0,), (j0,), weights, biases, layout, self.activation_type,
+            (True,), self._kernel_out_dtype(), interp,
         )
+        return v[:m], j[:, :m]
 
-        v0, j0 = dual_pack_to_planes(hc)
-        v0, m = pad_rows(v0)
-        j0, _ = pad_rows(j0, axis=1)
+    def _color_fused_planes(self, params, vs, js):
+        """Color trunk via the multi-segment kernel: the reference's
+        concat([PE(pos), PE(dir), normal, features]) (neddf.py:243-257)
+        becomes split first-layer weights; the no-Jacobian segments
+        (PE(dir), normal) skip the tangent matmuls entirely."""
+        from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
+
+        m = vs[0].shape[0]
+        vs_p = tuple(pad_rows(v)[0] for v in vs)
+        js_p = tuple(pad_rows(j, axis=1)[0] for j in js)
         weights = tuple(l["w"] for l in params["layers_col"])
         biases = tuple(l["b"] for l in params["layers_col"])
         layout = (False,) * len(weights)
         interp = jax.default_backend() != "tpu"
-        v, j = dual_mlp(v0, j0, weights, biases, layout, self.activation_type, interp)
-        return planes_to_dual_pack(v[:m], j[:, :m])
+        v, j = dual_mlp_seg(
+            vs_p, js_p, weights, biases, layout, self.activation_type,
+            (True, False, False, True), self._kernel_out_dtype(), interp,
+        )
+        return v[:m], j[:, :m]
 
     def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
@@ -205,8 +204,23 @@ class NeDDF(BaseField):
         # --- DDF trunk on dual tensors -----------------------------------
         cd = jnp.dtype(self.compute_dtype)
         cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
-        if self._use_fused():
-            features = self._trunk_fused(params, embed_scaled)
+        fused = self._use_fused()
+        if fused:
+            from neddf_tpu.kernels.dual_mlp import dual_pack_to_planes
+
+            emb_v, emb_j = dual_pack_to_planes(embed_scaled)
+            v_feat, j_feat = self._trunk_fused_planes(
+                params, cast(emb_v), cast(emb_j)
+            )
+
+            def head_planes(name):
+                w, b = cast(params[name]["w"]), cast(params[name]["b"])
+                hv = (v_feat @ w + b).astype(jnp.float32)  # [M, 1]
+                hj = jnp.moveaxis(j_feat @ w, 0, 1)[:, :, 0]  # [M, 3]
+                return hv, hj.astype(jnp.float32)
+
+            ddf_out, ddf_jac = head_planes("layer_ddf_out")
+            aux_out, aux_jac = head_planes("layer_aux_out")
         else:
             h = cast(embed_scaled)
             for layer_id, layer in enumerate(params["layers_ddf"]):
@@ -217,25 +231,29 @@ class NeDDF(BaseField):
                     h = jnp.concatenate([cast(embed_scaled), h], axis=-1)
             features = h  # dual [M, 4, W]
 
-        ddf = linear_dual(
-            features,
-            cast(params["layer_ddf_out"]["w"]),
-            cast(params["layer_ddf_out"]["b"]),
-        ).astype(jnp.float32)
-        ddf_out = dual_value(ddf)  # [M, 1] pre-activation (for range penalty)
-        dist_dual = act_dual(ddf, softplus, softplus_deriv)
-        distance = dual_value(dist_dual) + self.d_near  # [M, 1]
-        distance_grad = dual_jacobian(dist_dual)[:, :, 0]  # [M, 3]
+            ddf = linear_dual(
+                features,
+                cast(params["layer_ddf_out"]["w"]),
+                cast(params["layer_ddf_out"]["b"]),
+            ).astype(jnp.float32)
+            ddf_out = dual_value(ddf)  # [M, 1] pre-activation
+            ddf_jac = dual_jacobian(ddf)[:, :, 0]  # [M, 3]
+            aux = linear_dual(
+                features,
+                cast(params["layer_aux_out"]["w"]),
+                cast(params["layer_aux_out"]["b"]),
+            ).astype(jnp.float32)
+            aux_out = dual_value(aux)
+            aux_jac = dual_jacobian(aux)[:, :, 0]
 
-        aux = linear_dual(
-            features,
-            cast(params["layer_aux_out"]["w"]),
-            cast(params["layer_aux_out"]["b"]),
-        ).astype(jnp.float32)
-        aux_out = dual_value(aux)  # [M, 1] pre-activation
-        aux_dual = act_dual(aux, sigmoid, sigmoid_deriv)
-        aux_grad = sched.aux_grad_scale * dual_value(aux_dual)  # [M, 1]
-        aux_gg = sched.aux_grad_scale * dual_jacobian(aux_dual)[:, :, 0]  # [M, 3]
+        # head activations on (value, tangent) pairs — same chain rule as
+        # act_dual, on [M, 1] values / [M, 3] tangents
+        distance = softplus(ddf_out) + self.d_near  # [M, 1]
+        distance_grad = softplus_deriv(ddf_out) * ddf_jac  # [M, 3]
+        aux_grad = sched.aux_grad_scale * sigmoid(aux_out)  # [M, 1]
+        aux_gg = (
+            sched.aux_grad_scale * sigmoid_deriv(aux_out) * aux_jac
+        )  # [M, 3]
 
         # --- density from the distance field's spatial gradient ----------
         nabla_distance = jnp.concatenate([distance_grad, aux_grad], axis=1)  # [M, 4]
@@ -247,32 +265,49 @@ class NeDDF(BaseField):
 
         # --- color branch (dual, to get colorJ for the penalty) ----------
         m = pos.shape[0]
-        col_y = jnp.concatenate(
-            [dual_value(embed_plain), embed_dir, sg(norm_dir), dual_value(features)],
-            axis=1,
-        )
-        col_j = jnp.concatenate(
-            [
-                dual_jacobian(embed_plain),
-                jnp.zeros((m, 3, embed_dir.shape[1] + 3), col_y.dtype),
-                dual_jacobian(features),
-            ],
-            axis=2,
-        )
-        hc = jnp.concatenate([col_y[:, None, :], col_j], axis=1)
-        if self._use_fused():
-            hc = self._color_fused(params, hc)
+        if fused:
+            from neddf_tpu.kernels.dual_mlp import dual_pack_to_planes
+
+            ep_v, ep_j = dual_pack_to_planes(embed_plain)
+            vs = (cast(ep_v), cast(embed_dir), cast(sg(norm_dir)), v_feat)
+            js = (cast(ep_j), j_feat)
+            hc_v, hc_j = self._color_fused_planes(params, vs, js)
+            w_co = cast(params["layer_col_out"]["w"])
+            b_co = cast(params["layer_col_out"]["b"])
+            color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
+            color_j = jnp.moveaxis(hc_j @ w_co, 0, 1).astype(
+                jnp.float32
+            )  # [M, 3, 3]
         else:
-            hc = cast(hc)
+            col_y = jnp.concatenate(
+                [
+                    dual_value(embed_plain),
+                    embed_dir,
+                    sg(norm_dir),
+                    dual_value(features),
+                ],
+                axis=1,
+            )
+            col_j = jnp.concatenate(
+                [
+                    dual_jacobian(embed_plain),
+                    jnp.zeros((m, 3, embed_dir.shape[1] + 3), col_y.dtype),
+                    dual_jacobian(features),
+                ],
+                axis=2,
+            )
+            hc = cast(jnp.concatenate([col_y[:, None, :], col_j], axis=1))
             for layer in params["layers_col"]:
                 hc = act_dual(
                     linear_dual(hc, cast(layer["w"]), cast(layer["b"])), act, dact
                 )
-        col = linear_dual(
-            hc, cast(params["layer_col_out"]["w"]), cast(params["layer_col_out"]["b"])
-        ).astype(jnp.float32)
-        color = dual_value(col)  # [M, 3]
-        color_j = dual_jacobian(col)  # [M, 3, 3]
+            col = linear_dual(
+                hc,
+                cast(params["layer_col_out"]["w"]),
+                cast(params["layer_col_out"]["b"]),
+            ).astype(jnp.float32)
+            color = dual_value(col)  # [M, 3]
+            color_j = dual_jacobian(col)  # [M, 3, 3]
 
         # --- field-constraint penalties (stop_gradient placements match
         #     neddf.py:259-300) ------------------------------------------

@@ -13,17 +13,21 @@ for a tile of samples inside VMEM:
   chain rule is a clean 2D broadcast per plane (no sublane reshuffles)
 * matmuls run on the MXU in bfloat16 with float32 accumulation; the
   pre-activations (which feed f' and f'') stay float32
-* the reference's skip re-concat ``[embed, h]`` (neddf.py:214-219)
-  becomes a SPLIT weight: rows [:C0] multiply the embed tile that is
-  already resident, rows [C0:] multiply the hidden state — no concat
-  materialisation
+* the FIRST layer takes multiple input SEGMENTS: concat([a, b, c]) @ W
+  is computed as a @ W[ra] + b @ W[rb] + c @ W[rc] with the row slices
+  resident in VMEM — no concat is ever materialised. Segments without a
+  Jacobian (e.g. NeDDF's PE(dir) / stop-grad normal inputs,
+  neddf.py:243-257) skip the tangent matmuls entirely.
+* the reference's skip re-concat ``[embed, h]`` (neddf.py:214-219) uses
+  the same split-weight trick, re-injecting segment 0.
 * backward is a second kernel that RECOMPUTES the forward per tile
   (activations never touch HBM in either direction) and accumulates
   dW/db across the sequential TPU grid; it hand-implements the dual
   chain rule including the f'' coupling the reference writes by hand
   in its custom backwards (e.g. with_grad/softplus.py:83-89)
 
-Both kernels are exposed through ``dual_mlp`` with a jax.custom_vjp, so
+Exposed through ``dual_mlp_seg`` (multi-segment) and the single-segment
+convenience wrapper ``dual_mlp``, both with jax.custom_vjp so
 reverse-over-forward (loss gradients THROUGH the Jacobian-derived
 density) works exactly like the jnp path in neddf_tpu.ops.dual.
 """
@@ -123,57 +127,92 @@ class matmul_dtype:
         _MM_DTYPE[0] = self.prev
 
 
+def _offsets(widths: Sequence[int]) -> Tuple[int, ...]:
+    out, o = [], 0
+    for w in widths:
+        out.append(o)
+        o += w
+    return tuple(out)
+
+
 # -------------------------------------------------------------- forward
-def _fwd_kernel(layout, act_name, *refs):
-    """Forward: refs = [v0, j0, (w, b) * L] inputs + [v_out, j_out] outputs."""
+def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
+    """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out."""
+    n_seg = len(widths)
+    n_j = sum(has_j)
     n_layers = len(layout)
-    v0_ref, j0_ref = refs[0], refs[1]
-    w_refs = refs[2 : 2 + 2 * n_layers : 2]
-    b_refs = refs[3 : 2 + 2 * n_layers : 2]
-    vo_ref, jo_ref = refs[2 + 2 * n_layers], refs[3 + 2 * n_layers]
+    v_refs = refs[:n_seg]
+    j_refs = refs[n_seg : n_seg + n_j]
+    wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
+    w_refs, b_refs = wb[0::2], wb[1::2]
+    vo_ref, jo_ref = refs[-2], refs[-1]
 
     f, df, _ = _act_fns(act_name)
-    c0 = v0_ref.shape[-1]
+    offs = _offsets(widths)
+    seg_v = [v_refs[i][:] for i in range(n_seg)]
+    ji = 0
+    seg_j = []
+    for i in range(n_seg):
+        if has_j[i]:
+            seg_j.append([j_refs[ji][a] for a in range(3)])
+            ji += 1
+        else:
+            seg_j.append(None)
 
-    emb_v = v0_ref[:]
-    emb_j = [j0_ref[a] for a in range(3)]
-    v, j = emb_v, list(emb_j)
+    v = None
+    j = None
+    c0 = widths[0]
     for li, split in enumerate(layout):
         w, b = w_refs[li][:], b_refs[li][:]
-        if split:
-            # post-skip layer: input was concat([embed, h]); split the
-            # weight rows instead of materialising the concat
+        if li == 0:
+            pre = b
+            for i in range(n_seg):
+                pre = pre + _mm(seg_v[i], w[offs[i] : offs[i] + widths[i], :])
+            jw = [
+                sum(
+                    _mm(seg_j[i][a], w[offs[i] : offs[i] + widths[i], :])
+                    for i in range(n_seg)
+                    if seg_j[i] is not None
+                )
+                for a in range(3)
+            ]
+        elif split:
+            # post-skip layer: input was concat([seg0, h]) (neddf.py:214)
             we, wh = w[:c0, :], w[c0:, :]
-            pre = _mm(emb_v, we) + _mm(v, wh) + b
-            jw = [_mm(emb_j[a], we) + _mm(j[a], wh) for a in range(3)]
+            pre = _mm(seg_v[0], we) + _mm(v, wh) + b
+            jw = [_mm(seg_j[0][a], we) + _mm(j[a], wh) for a in range(3)]
         else:
             pre = _mm(v, w) + b
             jw = [_mm(j[a], w) for a in range(3)]
         d = df(pre)
         v = f(pre)
         j = [d * jw[a] for a in range(3)]
-    vo_ref[:] = v
+    vo_ref[:] = v.astype(out_dtype)
     for a in range(3):
-        jo_ref[a] = j[a]
+        jo_ref[a] = j[a].astype(out_dtype)
 
 
-def _run_forward(
-    v0: Array,
-    j0: Array,
-    weights: Tuple[Array, ...],
-    biases: Tuple[Array, ...],
-    layout: Tuple[bool, ...],
-    act_name: str,
-    interpret: bool = False,
-) -> Tuple[Array, Array]:
-    m, c0 = v0.shape
+def _seg_specs(widths, has_j, tile, c_out):
+    in_specs = [
+        pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for w in widths
+    ]
+    in_specs += [
+        pl.BlockSpec((3, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        for w, hj in zip(widths, has_j)
+        if hj
+    ]
+    return in_specs
+
+
+def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
+                 interpret=False):
+    m = vs[0].shape[0]
+    widths = tuple(v.shape[-1] for v in vs)
     c_out = weights[-1].shape[-1]
     grid = (m // TILE_M,)
 
-    in_specs = [
-        pl.BlockSpec((TILE_M, c0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, TILE_M, c0), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    ]
+    in_specs = _seg_specs(widths, has_j, TILE_M, c_out)
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         in_specs.append(
@@ -183,57 +222,81 @@ def _run_forward(
         pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, TILE_M, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     ]
-    args = [v0, j0]
+    args = list(vs) + list(js)
     for w, b in zip(weights, biases):
         args += [w, b]
+    odt = jnp.dtype(out_dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, layout, act_name),
+        functools.partial(_fwd_kernel, layout, act_name, has_j, widths, odt),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((m, c_out), jnp.float32),
-            jax.ShapeDtypeStruct((3, m, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((m, c_out), odt),
+            jax.ShapeDtypeStruct((3, m, c_out), odt),
         ],
         interpret=interpret,
     )(*args)
 
 
 # ------------------------------------------------------------- backward
-def _bwd_kernel(layout, act_name, *refs):
-    """Backward: recompute forward, then reverse the dual chain rule.
+def _bwd_kernel(layout, act_name, has_j, widths, *refs):
+    """Recompute forward (stash pre & j@W only), reverse the dual chain.
 
-    refs = [v0, j0, (w, b) * L, gv_out, gj_out]  inputs
-         + [dv0, dj0, (dw, db) * L]              outputs
+    refs = [*v_segs, *j_segs, (w, b) * L, gv, gj]  inputs
+         + [*dv_segs, *dj_segs, (dw, db) * L]      outputs
     """
+    n_seg = len(widths)
+    n_j = sum(has_j)
     n_layers = len(layout)
-    v0_ref, j0_ref = refs[0], refs[1]
-    w_refs = refs[2 : 2 + 2 * n_layers : 2]
-    b_refs = refs[3 : 2 + 2 * n_layers : 2]
-    gv_ref = refs[2 + 2 * n_layers]
-    gj_ref = refs[3 + 2 * n_layers]
-    out0 = 4 + 2 * n_layers
-    dv0_ref, dj0_ref = refs[out0], refs[out0 + 1]
-    dw_refs = refs[out0 + 2 : out0 + 2 + 2 * n_layers : 2]
-    db_refs = refs[out0 + 3 : out0 + 2 + 2 * n_layers : 2]
+    v_refs = refs[:n_seg]
+    j_refs = refs[n_seg : n_seg + n_j]
+    wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
+    w_refs, b_refs = wb[0::2], wb[1::2]
+    gv_ref = refs[n_seg + n_j + 2 * n_layers]
+    gj_ref = refs[n_seg + n_j + 2 * n_layers + 1]
+    outs = refs[n_seg + n_j + 2 * n_layers + 2 :]
+    dv_refs = outs[:n_seg]
+    dj_refs = outs[n_seg : n_seg + n_j]
+    dwb = outs[n_seg + n_j :]
+    dw_refs, db_refs = dwb[0::2], dwb[1::2]
 
     f, df, ddf = _act_fns(act_name)
-    c0 = v0_ref.shape[-1]
+    offs = _offsets(widths)
+    c0 = widths[0]
     is_first = pl.program_id(0) == 0
 
-    # ---- recompute forward, stashing ONLY pre & jw per layer (layer
-    # inputs are recomputed elementwise in the reverse loop — halves the
-    # VMEM stash vs also keeping v_in/j_in) ------------------------------
-    emb_v = v0_ref[:]
-    emb_j = [j0_ref[a] for a in range(3)]
-    v, j = emb_v, list(emb_j)
+    seg_v = [v_refs[i][:] for i in range(n_seg)]
+    ji = 0
+    seg_j = []
+    for i in range(n_seg):
+        if has_j[i]:
+            seg_j.append([j_refs[ji][a] for a in range(3)])
+            ji += 1
+        else:
+            seg_j.append(None)
+
+    # ---- recompute forward, stashing ONLY pre & jw per layer ----------
+    v, j = None, None
     pres, jws = [], []
     for li, split in enumerate(layout):
         w, b = w_refs[li][:], b_refs[li][:]
-        if split:
+        if li == 0:
+            pre = b
+            for i in range(n_seg):
+                pre = pre + _mm(seg_v[i], w[offs[i] : offs[i] + widths[i], :])
+            jw = [
+                sum(
+                    _mm(seg_j[i][a], w[offs[i] : offs[i] + widths[i], :])
+                    for i in range(n_seg)
+                    if seg_j[i] is not None
+                )
+                for a in range(3)
+            ]
+        elif split:
             we, wh = w[:c0, :], w[c0:, :]
-            pre = _mm(emb_v, we) + _mm(v, wh) + b
-            jw = [_mm(emb_j[a], we) + _mm(j[a], wh) for a in range(3)]
+            pre = _mm(seg_v[0], we) + _mm(v, wh) + b
+            jw = [_mm(seg_j[0][a], we) + _mm(j[a], wh) for a in range(3)]
         else:
             pre = _mm(v, w) + b
             jw = [_mm(j[a], w) for a in range(3)]
@@ -243,17 +306,24 @@ def _bwd_kernel(layout, act_name, *refs):
         v = f(pre)
         j = [d * jw[a] for a in range(3)]
 
-    # ---- reverse pass ---------------------------------------------------
-    gv = gv_ref[:]
-    gj = [gj_ref[a] for a in range(3)]
-    g_emb_v = jnp.zeros_like(emb_v)
-    g_emb_j = [jnp.zeros_like(emb_v) for _ in range(3)]
+    # ---- reverse pass --------------------------------------------------
+    gv = gv_ref[:].astype(jnp.float32)
+    gj = [gj_ref[a].astype(jnp.float32) for a in range(3)]
+    # accumulators for segment-0 grads contributed by skip layers
+    g_skip_v = jnp.zeros((seg_v[0].shape[0], c0), jnp.float32)
+    g_skip_j = [jnp.zeros((seg_v[0].shape[0], c0), jnp.float32) for _ in range(3)]
+
     for li in reversed(range(n_layers)):
         split = layout[li]
         w = w_refs[li][:]
         pre, jw = pres[li], jws[li]
         if li == 0:
-            v_in, j_in = emb_v, emb_j
+            v_in, j_in = None, None  # handled via segments below
+        elif li == 1:
+            # layer 0's outputs
+            d_prev = df(pres[0])
+            v_in = f(pres[0])
+            j_in = [d_prev * jws[0][a] for a in range(3)]
         else:
             prev_pre = pres[li - 1]
             d_prev = df(prev_pre)
@@ -261,23 +331,46 @@ def _bwd_kernel(layout, act_name, *refs):
             j_in = [d_prev * jws[li - 1][a] for a in range(3)]
         d1 = df(pre)
         d2 = ddf(pre)
-        # pre receives grad from value AND from every tangent's d1 factor
         gpre = gv * d1 + d2 * (gj[0] * jw[0] + gj[1] * jw[1] + gj[2] * jw[2])
         gjw = [gj[a] * d1 for a in range(3)]
+        db = jnp.sum(gpre, axis=0)
 
-        if split:
+        if li == 0:
+            # distribute to segments; dW rows per segment
+            dw_blocks = []
+            for i in range(n_seg):
+                wi = w[offs[i] : offs[i] + widths[i], :]
+                dv_i = _mm(gpre, wi.T)
+                dwi = _mm(seg_v[i].T, gpre)
+                if seg_j[i] is not None:
+                    dj_i = [_mm(gjw[a], wi.T) for a in range(3)]
+                    for a in range(3):
+                        dwi = dwi + _mm(seg_j[i][a].T, gjw[a])
+                else:
+                    dj_i = None
+                if i == 0:
+                    dv_i = dv_i + g_skip_v
+                    if dj_i is not None:
+                        dj_i = [dj_i[a] + g_skip_j[a] for a in range(3)]
+                dv_refs[i][:] = dv_i
+                if dj_i is not None:
+                    jidx = sum(1 for k in range(i) if has_j[k])
+                    for a in range(3):
+                        dj_refs[jidx][a] = dj_i[a]
+                dw_blocks.append(dwi)
+            dw = jnp.concatenate(dw_blocks, axis=0)
+        elif split:
             we_t = w[:c0, :].T
             wh_t = w[c0:, :].T
-            g_emb_v = g_emb_v + _mm(gpre, we_t)
+            g_skip_v = g_skip_v + _mm(gpre, we_t)
             gv = _mm(gpre, wh_t)
             for a in range(3):
-                g_emb_j[a] = g_emb_j[a] + _mm(gjw[a], we_t)
+                g_skip_j[a] = g_skip_j[a] + _mm(gjw[a], we_t)
             gj = [_mm(gjw[a], wh_t) for a in range(3)]
-            # weight grad: top rows from embed, bottom rows from hidden
-            dw_top = _mm(emb_v.T, gpre)
+            dw_top = _mm(seg_v[0].T, gpre)
             dw_bot = _mm(v_in.T, gpre)
             for a in range(3):
-                dw_top = dw_top + _mm(emb_j[a].T, gjw[a])
+                dw_top = dw_top + _mm(seg_j[0][a].T, gjw[a])
                 dw_bot = dw_bot + _mm(j_in[a].T, gjw[a])
             dw = jnp.concatenate([dw_top, dw_bot], axis=0)
         else:
@@ -288,7 +381,6 @@ def _bwd_kernel(layout, act_name, *refs):
             for a in range(3):
                 dw = dw + _mm(j_in[a].T, gjw[a])
             gv, gj = gv_new, gj_new
-        db = jnp.sum(gpre, axis=0)
 
         @pl.when(is_first)
         def _(li=li, dw=dw, db=db):
@@ -300,24 +392,17 @@ def _bwd_kernel(layout, act_name, *refs):
             dw_refs[li][:] = dw_refs[li][:] + dw
             db_refs[li][:] = db_refs[li][:] + db
 
-    dv0_ref[:] = gv + g_emb_v
-    for a in range(3):
-        dj0_ref[a] = gj[a] + g_emb_j[a]
 
-
-def _run_backward(
-    v0, j0, weights, biases, layout, act_name, gv, gj, interpret=False
-):
-    m, c0 = v0.shape
+def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
+                  interpret=False):
+    m = vs[0].shape[0]
+    widths = tuple(v.shape[-1] for v in vs)
     tile = TILE_M_BWD
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]
 
-    in_specs = [
-        pl.BlockSpec((tile, c0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile, c0), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    ]
+    in_specs = _seg_specs(widths, has_j, tile, c_out)
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         in_specs.append(
@@ -328,13 +413,16 @@ def _run_backward(
         pl.BlockSpec((3, tile, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((tile, c0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile, c0), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for w in widths
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((m, c0), jnp.float32),
-        jax.ShapeDtypeStruct((3, m, c0), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((m, w), jnp.float32) for w in widths]
+    for w, hj in zip(widths, has_j):
+        if hj:
+            out_specs.append(
+                pl.BlockSpec((3, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((3, m, w), jnp.float32))
     for w in weights:
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_specs.append(
@@ -343,26 +431,91 @@ def _run_backward(
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_shape.append(jax.ShapeDtypeStruct((w.shape[-1],), jnp.float32))
 
-    args = [v0, j0]
+    args = list(vs) + list(js)
     for w, b in zip(weights, biases):
         args += [w, b]
     args += [gv, gj]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, layout, act_name),
+        functools.partial(_bwd_kernel, layout, act_name, has_j, widths),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    dv0, dj0 = outs[0], outs[1]
-    dws = tuple(outs[2 + 2 * i] for i in range(n_layers))
-    dbs = tuple(outs[3 + 2 * i] for i in range(n_layers))
-    return dv0, dj0, dws, dbs
+    n_seg, n_j = len(widths), sum(has_j)
+    dvs = tuple(outs[:n_seg])
+    djs = tuple(outs[n_seg : n_seg + n_j])
+    rest = outs[n_seg + n_j :]
+    dws = tuple(rest[0::2])
+    dbs = tuple(rest[1::2])
+    return dvs, djs, dws, dbs
 
 
 # ------------------------------------------------------------ public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def dual_mlp_seg(
+    vs: Tuple[Array, ...],
+    js: Tuple[Array, ...],
+    weights: Tuple[Array, ...],
+    biases: Tuple[Array, ...],
+    layout: Tuple[bool, ...],
+    act_name: str,
+    has_j: Tuple[bool, ...],
+    out_dtype: str = "float32",
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused multi-segment dual-MLP.
+
+    Args:
+        vs: per-segment values, each [M, w_i] (M multiple of TILE_M).
+            Layer 0 behaves as concat(vs, axis=-1) @ W0.
+        js: Jacobian planes [3, M, w_i] for exactly the segments whose
+            ``has_j`` flag is True (in order).
+        weights / biases: per-layer params. A layer with layout True is
+            a post-skip layer re-injecting segment 0 (weight rows
+            [w_0 + hidden]).
+        layout: per-layer is-post-skip flags (layout[0] ignored).
+        act_name: activation for every layer.
+        has_j: which segments carry Jacobians.
+        out_dtype: dtype of the (v, j) outputs ("float32"/"bfloat16").
+        interpret: run the Pallas interpreter (CPU tests).
+
+    Returns:
+        (v [M, C_last], j [3, M, C_last]).
+    """
+    return _run_forward(
+        tuple(vs), tuple(js), tuple(weights), tuple(biases), layout, act_name,
+        has_j, out_dtype, interpret,
+    )
+
+
+def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interpret):
+    out = _run_forward(
+        tuple(vs), tuple(js), tuple(weights), tuple(biases), layout, act_name,
+        has_j, out_dtype, interpret,
+    )
+    return out, (tuple(vs), tuple(js), tuple(weights), tuple(biases))
+
+
+def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
+    vs, js, weights, biases = res
+    gv, gj = g
+    dvs, djs, dws, dbs = _run_backward(
+        vs, js, weights, biases, layout, act_name, has_j,
+        gv.astype(jnp.float32), gj.astype(jnp.float32), interpret,
+    )
+    # cotangents must match primal dtypes (inputs may be bf16)
+    dvs = tuple(d.astype(v.dtype) for d, v in zip(dvs, vs))
+    djs = tuple(d.astype(j.dtype) for d, j in zip(djs, js))
+    dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
+    dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
+    return dvs, djs, dws, dbs
+
+
+dual_mlp_seg.defvjp(_seg_fwd, _seg_bwd)
+
+
 def dual_mlp(
     v0: Array,
     j0: Array,
@@ -372,42 +525,11 @@ def dual_mlp(
     act_name: str,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Fused dual-MLP trunk.
-
-    Args:
-        v0: [M, C0] input values (M must be a multiple of TILE_M — use
-            ``pad_rows``/``unpad_rows`` helpers).
-        j0: [3, M, C0] input Jacobian planes.
-        weights / biases: per-layer parameters; a layer marked True in
-            ``layout`` is a post-skip layer whose weight has
-            ``C0 + C_hidden`` rows (embed rows first, matching the
-            reference's concat([embed, h]) ordering).
-        layout: per-layer is-post-skip flags.
-        act_name: activation for every layer ("tanhExp" etc.).
-        interpret: run the Pallas interpreter (CPU tests).
-
-    Returns:
-        (v [M, C_last], j [3, M, C_last]) float32.
-    """
-    return _run_forward(v0, j0, tuple(weights), tuple(biases), layout, act_name, interpret)
-
-
-def _dual_mlp_fwd(v0, j0, weights, biases, layout, act_name, interpret):
-    out = _run_forward(v0, j0, tuple(weights), tuple(biases), layout, act_name, interpret)
-    return out, (v0, j0, tuple(weights), tuple(biases))
-
-
-def _dual_mlp_bwd(layout, act_name, interpret, res, g):
-    v0, j0, weights, biases = res
-    gv, gj = g
-    dv0, dj0, dws, dbs = _run_backward(
-        v0, j0, weights, biases, layout, act_name,
-        gv.astype(jnp.float32), gj.astype(jnp.float32), interpret,
+    """Single-segment convenience wrapper (the NeDDF DDF trunk shape)."""
+    return dual_mlp_seg(
+        (v0,), (j0,), weights, biases, layout, act_name, (True,),
+        "float32", interpret,
     )
-    return dv0, dj0, dws, dbs
-
-
-dual_mlp.defvjp(_dual_mlp_fwd, _dual_mlp_bwd)
 
 
 # ------------------------------------------------------------- helpers

@@ -79,6 +79,7 @@ class BaseTrainer:
         debug_nans: bool = False,
         profile_trace_start: int = -1,
         profile_trace_steps: int = 5,
+        log_interval: int = 1,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
@@ -92,6 +93,12 @@ class BaseTrainer:
         self.optimizer_lr = optimizer_lr
         self.optimizer_weight_decay = optimizer_weight_decay
         self.seed = seed
+        # fetch step metrics from device every N steps: a per-step
+        # float(loss) blocks the async dispatch pipeline and costs a full
+        # tunnel round-trip; with N>1 the device stays busy and metrics
+        # arrive in batches (the reference syncs every step)
+        self.log_interval = max(1, int(log_interval))
+        self._pending_logs: List[Any] = []
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
@@ -302,19 +309,35 @@ class NeRFTrainer(BaseTrainer):
             jnp.int32(camera_id),
             jnp.int32(self.iteration),
         )
-        loss_f = float(loss)  # device sync
-        rays_per_sec = self.profiler.step_end()
-        mse_f = float(mse)
-        psnr = 10 * math.log10(1.0 / max(mse_f, 1e-12))
-        self.logger.write_batchend()
-        self.logger.write(
-            loss_f,
-            psnr,
-            {k: float(v) for k, v in loss_dict.items()},
-            rays_per_sec=rays_per_sec,
-        )
-        self.logger.next()
+        self._pending_logs.append((loss, loss_dict, mse))
         self.iteration += 1
+        if len(self._pending_logs) >= self.log_interval:
+            loss_f = self._flush_logs()  # one device sync for the batch
+        else:
+            loss_f = float("nan")  # not yet materialised
+        rays_per_sec = self.profiler.step_end()
+        self.logger.write_batchend()
+        self.logger.rays_per_sec = rays_per_sec
+        return loss_f
+
+    def _flush_logs(self) -> float:
+        """Materialise pending device metrics and emit logger records."""
+        if not self._pending_logs:
+            return float("nan")
+        fetched = jax.device_get(self._pending_logs)
+        self._pending_logs = []
+        loss_f = float("nan")
+        for loss, loss_dict, mse in fetched:
+            loss_f = float(loss)
+            mse_f = float(mse)
+            psnr = 10 * math.log10(1.0 / max(mse_f, 1e-12))
+            self.logger.write(
+                loss_f,
+                psnr,
+                {k: float(v) for k, v in loss_dict.items()},
+                rays_per_sec=self.profiler.rays_per_sec(),
+            )
+            self.logger.next()
         return loss_f
 
     # ----------------------------------------------------------- train loop
@@ -329,6 +352,7 @@ class NeRFTrainer(BaseTrainer):
             camera_ids = rng.permutation(frame_length)
             for camera_id in camera_ids:
                 self.run_train_step(int(camera_id))
+            self._flush_logs()
             if epoch % self.epoch_save_fields == 0:
                 self.render_field_slices(render_dir / "fields", epoch)
             if epoch % self.epoch_test_rendering == 0:

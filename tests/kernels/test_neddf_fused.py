@@ -104,3 +104,27 @@ def test_padded_row_count(fields):
     out = field_fused.apply(params, sampling, field_fused.schedule(-1))
     assert out["density"].shape == (b, s)
     assert bool(jnp.all(jnp.isfinite(out["density"])))
+
+
+def test_fused_bf16_finite_and_close(fields, data):
+    """Production bf16 path: outputs finite and near the f32 reference."""
+    field_ref, _ = fields
+    params, sampling = data
+    field_bf = NeDDF(fused="on", compute_dtype="bfloat16", **KW)
+    sched = field_ref.schedule(500)
+    out_b = field_bf.apply(params, sampling, sched)
+    out_r = field_ref.apply(params, sampling, sched)
+    for k in out_r:
+        arr = np.asarray(out_b[k], dtype=np.float32)
+        assert np.all(np.isfinite(arr)), k
+        ref = np.asarray(out_r[k])
+        scale = np.abs(ref).max() + 1e-6
+        assert np.median(np.abs(arr - ref)) < 2e-2 * scale, k
+
+    def loss(field, p):
+        out = field.apply(p, sampling, sched)
+        return jnp.mean(out["density"]) + jnp.mean(jnp.square(out["color"]))
+
+    g = jax.grad(lambda p: loss(field_bf, p))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
