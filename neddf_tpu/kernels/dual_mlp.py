@@ -30,6 +30,14 @@ Exposed through ``dual_mlp_seg`` (multi-segment) and the single-segment
 convenience wrapper ``dual_mlp``, both with jax.custom_vjp so
 reverse-over-forward (loss gradients THROUGH the Jacobian-derived
 density) works exactly like the jnp path in neddf_tpu.ops.dual.
+
+KNOWN LIMIT: verified correct (vs the jnp path, forward and gradients)
+up to M ≈ 4e5 rows per call on v5e. At M ≈ 8e5 (train batch 4096 rays x
+194 samples) the grad-compiled program deterministically produces NaNs
+on ~14% of rays in BOTH f32 and bf16 while the identical forward-only
+program is clean — suspected XLA/Mosaic interaction at that buffer
+scale, under investigation. All shipping configs (batch <= 1024 rays,
+render chunks <= 1024) stay far below the limit.
 """
 from __future__ import annotations
 
