@@ -1,0 +1,21 @@
+# Developer entry points (twin of the reference Makefile, which runs
+# pytest with coverage and pysen lint — /root/reference/Makefile:1-11).
+PYTHON ?= python
+
+.PHONY: test test-fast lint bench dryrun
+
+test:
+	$(PYTHON) -m pytest tests --durations 5
+
+test-fast:
+	$(PYTHON) -m pytest tests/ops tests/kernels tests/viz -q
+
+lint:
+	$(PYTHON) -m compileall -q neddf_tpu tests bench.py __graft_entry__.py
+
+bench:
+	$(PYTHON) bench.py
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	$(PYTHON) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
