@@ -43,6 +43,9 @@ class NeRF(BaseField):
     density_activation_type: str = "ReLU"
     lowpass_alpha_offset: float = 10.0
     skips: Tuple[int, ...] = (4,)
+    # bfloat16 halves trunk-activation HBM traffic on TPU (f32 MXU
+    # accumulation either way); heads return f32
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
@@ -100,16 +103,21 @@ class NeRF(BaseField):
         embed_pos = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
         embed_dir = positional_encoding(direction, self.embed_dir_rank)
 
-        hx = embed_pos
+        cd = jnp.dtype(self.compute_dtype)
+        cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
+        cast_p = lambda l: {"w": cast(l["w"]), "b": cast(l["b"])}
+        hx = cast(embed_pos)
         for layer_id, layer in enumerate(params["layers"]):
-            hx = act(linear_apply(layer, hx))
+            hx = act(linear_apply(cast_p(layer), hx))
             if layer_id in self.skips:
-                hx = jnp.concatenate([hx, embed_pos], axis=1)
-        density = density_act(linear_apply(params["outL_density"], hx))
+                hx = jnp.concatenate([hx, cast(embed_pos)], axis=1)
+        density = density_act(
+            linear_apply(cast_p(params["outL_density"]), hx).astype(jnp.float32)
+        )
 
-        h = jnp.concatenate([hx, embed_dir], axis=1)
-        h = jax.nn.relu(linear_apply(params["outL_color"][0], h))
-        color = linear_apply(params["outL_color"][1], h)
+        h = jnp.concatenate([hx, cast(embed_dir)], axis=1)
+        h = jax.nn.relu(linear_apply(cast_p(params["outL_color"][0]), h))
+        color = linear_apply(cast_p(params["outL_color"][1]), h).astype(jnp.float32)
 
         return {
             "density": density.reshape(batch_size, sampling_size),

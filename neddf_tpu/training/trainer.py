@@ -80,6 +80,8 @@ class BaseTrainer:
         profile_trace_start: int = -1,
         profile_trace_steps: int = 5,
         log_interval: int = 1,
+        optimize_camera: bool = False,
+        camera_optimizer_lr: float = 1e-4,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
@@ -99,6 +101,12 @@ class BaseTrainer:
         # arrive in batches (the reference syncs every step)
         self.log_interval = max(1, int(log_interval))
         self._pending_logs: List[Any] = []
+        # pose refinement: the reference exposes each Camera's 6-DoF delta
+        # as an nn.Parameter (camera.py:40) but its default optimizer only
+        # covers network params (nerf_render.py:94-107). Here the deltas
+        # become a real optimizer target when enabled.
+        self.optimize_camera = optimize_camera
+        self.camera_optimizer_lr = camera_optimizer_lr
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
@@ -236,10 +244,15 @@ class NeRFTrainer(BaseTrainer):
         self.tx = optax.chain(*parts)
         with jax.default_device(self.device):
             self.opt_state = self.tx.init(self.params)
+        self.tx_cam = optax.adam(self.camera_optimizer_lr)
+        with jax.default_device(self.device):
+            self.opt_state_cam = self.tx_cam.init(self.camera_deltas)
 
         self.iteration = 0
         self.logger = NeRFTBLogger()
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0, 1, 2, 3)
+        )
 
     # ----------------------------------------------------------- train step
     def _train_step_impl(
@@ -247,6 +260,7 @@ class NeRFTrainer(BaseTrainer):
         params,
         opt_state,
         camera_deltas: Array,
+        opt_state_cam,
         rgb_images: Array,
         mask_images: Array,
         camera_initials: Array,
@@ -271,12 +285,12 @@ class NeRFTrainer(BaseTrainer):
         ).astype(jnp.int32)
         uv = jnp.stack([us, vs], axis=1)
 
-        pose_r, pose_t = camera_pose(
-            camera_initials[camera_id], camera_deltas[camera_id]
-        )
         targets = self.construct_ground_truth(rgb_cam, mask_cam, us, vs)
 
-        def loss_fn(p):
+        def loss_fn(p, deltas):
+            pose_r, pose_t = camera_pose(
+                camera_initials[camera_id], deltas[camera_id]
+            )
             render_result = self.neural_render.render_rays(
                 p, self.calib, pose_r, pose_t, uv, k_render, iteration
             )
@@ -287,21 +301,37 @@ class NeRFTrainer(BaseTrainer):
             mse = jnp.mean(jnp.square(render_result["color"] - targets["color"]))
             return total, (loss_dict, mse)
 
-        (loss, (loss_dict, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        argnums = (0, 1) if self.optimize_camera else 0
+        (loss, (loss_dict, mse)), grads = jax.value_and_grad(
+            loss_fn, argnums=argnums, has_aux=True
+        )(params, camera_deltas)
+        if self.optimize_camera:
+            grads, grads_cam = grads
+            cam_updates, opt_state_cam = self.tx_cam.update(
+                grads_cam, opt_state_cam, camera_deltas
+            )
+            camera_deltas = optax.apply_updates(camera_deltas, cam_updates)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, loss_dict, mse
+        return params, opt_state, camera_deltas, opt_state_cam, loss, loss_dict, mse
 
     def run_train_step(self, camera_id: int) -> float:
         self.logger.write_batchstart()
         self.profiler.step_begin()
         self.key, step_key = jax.random.split(self.key)
-        self.params, self.opt_state, loss, loss_dict, mse = self._train_step(
+        (
             self.params,
             self.opt_state,
             self.camera_deltas,
+            self.opt_state_cam,
+            loss,
+            loss_dict,
+            mse,
+        ) = self._train_step(
+            self.params,
+            self.opt_state,
+            self.camera_deltas,
+            self.opt_state_cam,
             self.rgb_images,
             self.mask_images,
             self.camera_initials,
