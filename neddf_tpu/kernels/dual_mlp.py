@@ -144,6 +144,38 @@ def _offsets(widths: Sequence[int]) -> Tuple[int, ...]:
 
 
 # -------------------------------------------------------------- forward
+#
+# STACKED-STREAM layout: inside the kernel the value row-block and the 3
+# tangent row-blocks are concatenated into one [4T, C] matrix so every
+# layer is ONE large MXU matmul instead of 4 small ones (and backward's
+# dW / dX are one [C,4T]x[4T,C] / [4T,C]x[C,C'] each). Rows [0:T] are
+# values, rows [(1+a)T:(2+a)T] are the d/dx_a tangent planes.
+
+
+def _stack_segment(v, j_list, tile):
+    """[T, w] + 3x[T, w] (or None) -> [4T, w] stacked streams."""
+    if j_list is None:
+        z = jnp.zeros_like(v)
+        return jnp.concatenate([v, z, z, z], axis=0)
+    return jnp.concatenate([v, *j_list], axis=0)
+
+
+def _dual_act(pre_stack, tile, f, df):
+    """Activation on a stacked pre-activation: values get f, tangent
+    blocks get df(value) broadcast (the dual chain rule)."""
+    pre_v = pre_stack[:tile]
+    d = df(pre_v)
+    return jnp.concatenate(
+        [
+            f(pre_v),
+            d * pre_stack[tile : 2 * tile],
+            d * pre_stack[2 * tile : 3 * tile],
+            d * pre_stack[3 * tile :],
+        ],
+        axis=0,
+    )
+
+
 def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
     """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out."""
     n_seg = len(widths)
@@ -157,47 +189,48 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
 
     f, df, _ = _act_fns(act_name)
     offs = _offsets(widths)
-    seg_v = [v_refs[i][:] for i in range(n_seg)]
+    tile = v_refs[0].shape[0]
     ji = 0
-    seg_j = []
+    seg = []  # stacked [4T, w_i] per segment (zeros tangent if no J)
     for i in range(n_seg):
         if has_j[i]:
-            seg_j.append([j_refs[ji][a] for a in range(3)])
+            seg.append(
+                _stack_segment(v_refs[i][:], [j_refs[ji][a] for a in range(3)], tile)
+            )
             ji += 1
         else:
-            seg_j.append(None)
+            seg.append(None)  # value-only; handled on the value block
 
-    v = None
-    j = None
+    h = None
     c0 = widths[0]
     for li, split in enumerate(layout):
         w, b = w_refs[li][:], b_refs[li][:]
         if li == 0:
-            pre = b
+            pre = None
             for i in range(n_seg):
-                pre = pre + _mm(seg_v[i], w[offs[i] : offs[i] + widths[i], :])
-            jw = [
-                sum(
-                    _mm(seg_j[i][a], w[offs[i] : offs[i] + widths[i], :])
-                    for i in range(n_seg)
-                    if seg_j[i] is not None
-                )
-                for a in range(3)
-            ]
+                rows = w[offs[i] : offs[i] + widths[i], :]
+                if seg[i] is not None:
+                    term = _mm(seg[i], rows)  # [4T, C]
+                else:
+                    vterm = _mm(v_refs[i][:], rows)  # [T, C] value-only
+                    term = jnp.concatenate(
+                        [vterm, jnp.zeros((3 * tile, rows.shape[-1]), vterm.dtype)],
+                        axis=0,
+                    )
+                pre = term if pre is None else pre + term
+            pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
         elif split:
             # post-skip layer: input was concat([seg0, h]) (neddf.py:214)
             we, wh = w[:c0, :], w[c0:, :]
-            pre = _mm(seg_v[0], we) + _mm(v, wh) + b
-            jw = [_mm(seg_j[0][a], we) + _mm(j[a], wh) for a in range(3)]
+            pre = _mm(seg[0], we) + _mm(h, wh)
+            pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
         else:
-            pre = _mm(v, w) + b
-            jw = [_mm(j[a], w) for a in range(3)]
-        d = df(pre)
-        v = f(pre)
-        j = [d * jw[a] for a in range(3)]
-    vo_ref[:] = v.astype(out_dtype)
+            pre = _mm(h, w)
+            pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
+        h = _dual_act(pre, tile, f, df)
+    vo_ref[:] = h[:tile].astype(out_dtype)
     for a in range(3):
-        jo_ref[a] = j[a].astype(out_dtype)
+        jo_ref[a] = h[(1 + a) * tile : (2 + a) * tile].astype(out_dtype)
 
 
 def _seg_specs(widths, has_j, tile, c_out):
@@ -273,122 +306,104 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
     offs = _offsets(widths)
     c0 = widths[0]
     is_first = pl.program_id(0) == 0
+    tile = v_refs[0].shape[0]
 
-    seg_v = [v_refs[i][:] for i in range(n_seg)]
     ji = 0
-    seg_j = []
+    seg = []  # stacked [4T, w_i] (J segments) or None (value-only)
     for i in range(n_seg):
         if has_j[i]:
-            seg_j.append([j_refs[ji][a] for a in range(3)])
+            seg.append(
+                _stack_segment(v_refs[i][:], [j_refs[ji][a] for a in range(3)], tile)
+            )
             ji += 1
         else:
-            seg_j.append(None)
+            seg.append(None)
 
-    # ---- recompute forward, stashing ONLY pre & jw per layer ----------
-    v, j = None, None
-    pres, jws = [], []
+    # ---- recompute forward, stashing pre_stack [4T, C] per layer ------
+    h = None
+    pres = []
     for li, split in enumerate(layout):
         w, b = w_refs[li][:], b_refs[li][:]
         if li == 0:
-            pre = b
+            pre = None
             for i in range(n_seg):
-                pre = pre + _mm(seg_v[i], w[offs[i] : offs[i] + widths[i], :])
-            jw = [
-                sum(
-                    _mm(seg_j[i][a], w[offs[i] : offs[i] + widths[i], :])
-                    for i in range(n_seg)
-                    if seg_j[i] is not None
-                )
-                for a in range(3)
-            ]
+                rows = w[offs[i] : offs[i] + widths[i], :]
+                if seg[i] is not None:
+                    term = _mm(seg[i], rows)
+                else:
+                    vterm = _mm(v_refs[i][:], rows)
+                    term = jnp.concatenate(
+                        [vterm, jnp.zeros((3 * tile, rows.shape[-1]), vterm.dtype)],
+                        axis=0,
+                    )
+                pre = term if pre is None else pre + term
         elif split:
-            we, wh = w[:c0, :], w[c0:, :]
-            pre = _mm(seg_v[0], we) + _mm(v, wh) + b
-            jw = [_mm(seg_j[0][a], we) + _mm(j[a], wh) for a in range(3)]
+            pre = _mm(seg[0], w[:c0, :]) + _mm(h, w[c0:, :])
         else:
-            pre = _mm(v, w) + b
-            jw = [_mm(j[a], w) for a in range(3)]
+            pre = _mm(h, w)
+        pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
         pres.append(pre)
-        jws.append(jw)
-        d = df(pre)
-        v = f(pre)
-        j = [d * jw[a] for a in range(3)]
+        h = _dual_act(pre, tile, f, df)
 
     # ---- reverse pass --------------------------------------------------
     gv = gv_ref[:].astype(jnp.float32)
     gj = [gj_ref[a].astype(jnp.float32) for a in range(3)]
-    # accumulators for segment-0 grads contributed by skip layers
-    g_skip_v = jnp.zeros((seg_v[0].shape[0], c0), jnp.float32)
-    g_skip_j = [jnp.zeros((seg_v[0].shape[0], c0), jnp.float32) for _ in range(3)]
+    # segment-0 grads contributed by skip layers, stacked [4T, c0]
+    g_skip = jnp.zeros((4 * tile, c0), jnp.float32)
 
     for li in reversed(range(n_layers)):
         split = layout[li]
         w = w_refs[li][:]
-        pre, jw = pres[li], jws[li]
-        if li == 0:
-            v_in, j_in = None, None  # handled via segments below
-        elif li == 1:
-            # layer 0's outputs
-            d_prev = df(pres[0])
-            v_in = f(pres[0])
-            j_in = [d_prev * jws[0][a] for a in range(3)]
-        else:
-            prev_pre = pres[li - 1]
-            d_prev = df(prev_pre)
-            v_in = f(prev_pre)
-            j_in = [d_prev * jws[li - 1][a] for a in range(3)]
-        d1 = df(pre)
-        d2 = ddf(pre)
-        gpre = gv * d1 + d2 * (gj[0] * jw[0] + gj[1] * jw[1] + gj[2] * jw[2])
-        gjw = [gj[a] * d1 for a in range(3)]
-        db = jnp.sum(gpre, axis=0)
+        pre = pres[li]
+        pre_v = pre[:tile]
+        d1 = df(pre_v)
+        d2 = ddf(pre_v)
+        # gpre for the value rows collects the f'' coupling from every
+        # tangent plane; tangent rows' grads are gj_a * f'(pre_v)
+        gpre_v = gv * d1 + d2 * (
+            gj[0] * pre[tile : 2 * tile]
+            + gj[1] * pre[2 * tile : 3 * tile]
+            + gj[2] * pre[3 * tile :]
+        )
+        g_stack = jnp.concatenate(
+            [gpre_v, gj[0] * d1, gj[1] * d1, gj[2] * d1], axis=0
+        )  # [4T, C]
+        db = jnp.sum(gpre_v, axis=0)
+
+        # input of this layer, stacked (recomputed)
+        if li > 0:
+            h_in = _dual_act(pres[li - 1], tile, f, df)
 
         if li == 0:
-            # distribute to segments; dW rows per segment
             dw_blocks = []
             for i in range(n_seg):
-                wi = w[offs[i] : offs[i] + widths[i], :]
-                dv_i = _mm(gpre, wi.T)
-                dwi = _mm(seg_v[i].T, gpre)
-                if seg_j[i] is not None:
-                    dj_i = [_mm(gjw[a], wi.T) for a in range(3)]
-                    for a in range(3):
-                        dwi = dwi + _mm(seg_j[i][a].T, gjw[a])
-                else:
-                    dj_i = None
-                if i == 0:
-                    dv_i = dv_i + g_skip_v
-                    if dj_i is not None:
-                        dj_i = [dj_i[a] + g_skip_j[a] for a in range(3)]
-                dv_refs[i][:] = dv_i
-                if dj_i is not None:
+                rows = w[offs[i] : offs[i] + widths[i], :]
+                if seg[i] is not None:
+                    d_in = _mm(g_stack, rows.T)  # [4T, w_i]
+                    if i == 0:
+                        d_in = d_in + g_skip
+                    dv_refs[i][:] = d_in[:tile]
                     jidx = sum(1 for k in range(i) if has_j[k])
                     for a in range(3):
-                        dj_refs[jidx][a] = dj_i[a]
-                dw_blocks.append(dwi)
+                        dj_refs[jidx][a] = d_in[(1 + a) * tile : (2 + a) * tile]
+                    dw_blocks.append(_mm(seg[i].T, g_stack))
+                else:
+                    dv_refs[i][:] = _mm(gpre_v, rows.T)
+                    dw_blocks.append(_mm(v_refs[i][:].T, gpre_v))
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
-            we_t = w[:c0, :].T
-            wh_t = w[c0:, :].T
-            g_skip_v = g_skip_v + _mm(gpre, we_t)
-            gv = _mm(gpre, wh_t)
-            for a in range(3):
-                g_skip_j[a] = g_skip_j[a] + _mm(gjw[a], we_t)
-            gj = [_mm(gjw[a], wh_t) for a in range(3)]
-            dw_top = _mm(seg_v[0].T, gpre)
-            dw_bot = _mm(v_in.T, gpre)
-            for a in range(3):
-                dw_top = dw_top + _mm(seg_j[0][a].T, gjw[a])
-                dw_bot = dw_bot + _mm(j_in[a].T, gjw[a])
-            dw = jnp.concatenate([dw_top, dw_bot], axis=0)
+            g_skip = g_skip + _mm(g_stack, w[:c0, :].T)
+            g_in = _mm(g_stack, w[c0:, :].T)  # [4T, C_hidden]
+            dw = jnp.concatenate(
+                [_mm(seg[0].T, g_stack), _mm(h_in.T, g_stack)], axis=0
+            )
+            gv = g_in[:tile]
+            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(3)]
         else:
-            w_t = w.T
-            gv_new = _mm(gpre, w_t)
-            gj_new = [_mm(gjw[a], w_t) for a in range(3)]
-            dw = _mm(v_in.T, gpre)
-            for a in range(3):
-                dw = dw + _mm(j_in[a].T, gjw[a])
-            gv, gj = gv_new, gj_new
+            g_in = _mm(g_stack, w.T)
+            dw = _mm(h_in.T, g_stack)
+            gv = g_in[:tile]
+            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(3)]
 
         @pl.when(is_first)
         def _(li=li, dw=dw, db=db):

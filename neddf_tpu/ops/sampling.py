@@ -16,10 +16,26 @@ compile once under jit:
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _per_ray_uniform(
+    key: Array, pixel_ids: Array, n: int, dtype=jnp.float32
+) -> Array:
+    """[B, n] uniforms where row b depends only on (key, pixel_ids[b]).
+
+    Deriving the draws from the PIXEL identity (not the batch layout)
+    makes sampling invariant to how rays are sharded across devices or
+    chunked across render calls — a DP step on any mesh shape sees the
+    exact same jitter as the unsharded program.
+    """
+    keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(keys)
 
 
 def stratified_dists(
@@ -28,14 +44,20 @@ def stratified_dists(
     sample_count: int,
     dist_near: float,
     dist_far: float,
+    pixel_ids: Optional[Array] = None,
 ) -> Array:
     """[batch, sample_count+1] jittered linspace over [near, far].
 
     Matches the reference: base linspace of sample_count+1 points plus a
-    uniform jitter of one bin width (far-near)/sample_count.
+    uniform jitter of one bin width (far-near)/sample_count. With
+    ``pixel_ids`` the jitter is a pure function of (key, pixel) — see
+    ``_per_ray_uniform``.
     """
     base = jnp.linspace(dist_near, dist_far, sample_count + 1)
-    jitter = jax.random.uniform(key, (batch_size, sample_count + 1))
+    if pixel_ids is None:
+        jitter = jax.random.uniform(key, (batch_size, sample_count + 1))
+    else:
+        jitter = _per_ray_uniform(key, pixel_ids, sample_count + 1)
     return base[None, :] + jitter * ((dist_far - dist_near) / sample_count)
 
 
@@ -54,6 +76,7 @@ def sample_pdf(
     weights: Array,
     samples_fine: int,
     cat_coarse: bool = True,
+    pixel_ids: Optional[Array] = None,
 ) -> Array:
     """Hierarchical inverse-CDF sampling of fine ray distances.
 
@@ -63,6 +86,7 @@ def sample_pdf(
         weights: [B, S-1] compositing weights of the coarse intervals.
         samples_fine: number of new samples to draw.
         cat_coarse: concatenate (and re-sort with) the coarse dists.
+        pixel_ids: optional [B] ids making draws per-pixel deterministic.
 
     Returns:
         [B, S + samples_fine] if cat_coarse else [B, samples_fine].
@@ -82,7 +106,10 @@ def sample_pdf(
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [B, S]
 
-    u = jax.random.uniform(key, (batch_size, samples_fine), dtype=dists.dtype)
+    if pixel_ids is None:
+        u = jax.random.uniform(key, (batch_size, samples_fine), dtype=dists.dtype)
+    else:
+        u = _per_ray_uniform(key, pixel_ids, samples_fine, dtype=dists.dtype)
 
     ids = _searchsorted_right(cdf, u)
     below = jnp.maximum(ids - 1, 0)

@@ -86,22 +86,39 @@ def make_sharded_train_step(
     image_height: int,
     image_width: int,
 ):
-    """Build a pjit-compiled full training step over the mesh.
+    """Build a jit-compiled full training step over the mesh.
 
-    Rays (the sampled pixel batch) shard over 'data'; images and params
-    follow their placement (replicated or TP-sharded); the mean-reduced
-    loss makes GSPMD emit the gradient psum over ICI automatically.
+    Two regimes:
 
-    Returns step(params, opt_state, camera_deltas, rgb_images, mask_images,
-    camera_initials, key, camera_id, iteration) -> (params, opt_state,
-    loss, mse).
+    * model == 1 (pure DP, the production regime — the reference fields
+      are only 2.5 MB so parameters replicate): the whole per-device
+      computation runs under ``jax.shard_map`` over the 'data' axis.
+      Each device samples ITS OWN ray sub-batch (key folded with the
+      device index), runs the field/Pallas kernels on purely LOCAL
+      shards, and the gradients are psum-averaged over ICI. This is the
+      correct multi-chip design for Pallas kernels: XLA's SPMD
+      partitioner cannot split a custom call, so the GSPMD route would
+      all-gather the batch around every kernel.
+    * model > 1 (tensor-parallel width sharding): GSPMD whole-program
+      partitioning — weights are column-sharded (shard_field_params) and
+      XLA derives the activation collectives. The fused kernels are
+      bypassed in this regime (the jnp dual path partitions cleanly).
+
+    Returns step(params, opt_state, camera_deltas, rgb_images,
+    mask_images, camera_initials, key, camera_id, iteration) ->
+    (params, opt_state, loss, mse).
     """
     from neddf_tpu.geometry.se3 import camera_pose
 
-    def train_step(
-        params, opt_state, camera_deltas, rgb_images, mask_images,
-        camera_initials, key, camera_id, iteration,
-    ):
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    if batch_size % n_data != 0:
+        raise ValueError(f"batch_size {batch_size} not divisible by data={n_data}")
+    local_batch = batch_size // n_data
+
+    def local_loss(params, camera_deltas, rgb_images, mask_images,
+                   camera_initials, key, camera_id, iteration, batch,
+                   shard_rays=False, ray_slice=None):
         k_u, k_v, k_render = jax.random.split(key, 3)
         us = jnp.floor(
             jax.random.uniform(k_u, (batch_size,)) * (image_width - 1)
@@ -109,20 +126,24 @@ def make_sharded_train_step(
         vs = jnp.floor(
             jax.random.uniform(k_v, (batch_size,)) * (image_height - 1)
         ).astype(jnp.int32)
-        # pin the ray batch to the data axis; everything downstream
-        # (sampling, field eval, compositing) inherits the sharding
-        us = jax.lax.with_sharding_constraint(us, data_sharded(mesh))
-        vs = jax.lax.with_sharding_constraint(vs, data_sharded(mesh))
+        if ray_slice is not None:  # shard_map regime: take the local slice
+            # render RNG is per-pixel inside render_rays, so the slice
+            # sees exactly the same draws as the unsharded program
+            us = jax.lax.dynamic_slice(us, (ray_slice,), (batch,))
+            vs = jax.lax.dynamic_slice(vs, (ray_slice,), (batch,))
+        if shard_rays:  # GSPMD regime: pin the ray batch to the data axis
+            us = jax.lax.with_sharding_constraint(us, data_sharded(mesh))
+            vs = jax.lax.with_sharding_constraint(vs, data_sharded(mesh))
         uv = jnp.stack([us, vs], axis=1)
-
         rgb_cam = rgb_images[camera_id]
         mask_cam = mask_images[camera_id]
-        pose_r, pose_t = camera_pose(camera_initials[camera_id], camera_deltas[camera_id])
-
+        pose_r, pose_t = camera_pose(
+            camera_initials[camera_id], camera_deltas[camera_id]
+        )
         targets: Dict[str, Array] = {
             "color": (1.0 / 256.0) * rgb_cam[vs, us, :],
             "mask": (1.0 / 256.0) * mask_cam[vs, us],
-            "fields_penalty": jnp.zeros((batch_size,), jnp.float32),
+            "fields_penalty": jnp.zeros((batch,), jnp.float32),
         }
 
         def loss_fn(p):
@@ -138,7 +159,56 @@ def make_sharded_train_step(
             mse = jnp.mean(jnp.square(render_result["color"] - targets["color"]))
             return total, mse
 
-        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    if n_model == 1:
+        # ---- shard_map DP: local kernels + explicit psum-mean ----------
+        def per_device(params, camera_deltas, rgb_images, mask_images,
+                       camera_initials, key, camera_id, iteration):
+            # every device draws the SAME global pixel batch from the
+            # unfolded key and keeps its contiguous slice — the union of
+            # rays is identical to an unsharded run, so losses/grads are
+            # bitwise mesh-shape-invariant (pmean of equal-size means)
+            shard = jax.lax.axis_index("data") * local_batch
+            (loss, mse), grads = local_loss(
+                params, camera_deltas, rgb_images, mask_images,
+                camera_initials, key, camera_id, iteration, local_batch,
+                ray_slice=shard,
+            )
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            mse = jax.lax.pmean(mse, "data")
+            return loss, mse, grads
+
+        rep = P()
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(rep,) * 8,
+            out_specs=rep,
+            check_vma=False,
+        )
+
+        def train_step(params, opt_state, camera_deltas, rgb_images,
+                       mask_images, camera_initials, key, camera_id, iteration):
+            loss, mse, grads = sharded(
+                params, camera_deltas, rgb_images, mask_images,
+                camera_initials, key, camera_id, iteration,
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss, mse
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ---- GSPMD: TP width sharding + derived collectives ----------------
+    def train_step(params, opt_state, camera_deltas, rgb_images,
+                   mask_images, camera_initials, key, camera_id, iteration):
+        (loss, mse), grads = local_loss(
+            params, camera_deltas, rgb_images, mask_images,
+            camera_initials, key, camera_id, iteration, batch_size,
+            shard_rays=True,
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, mse

@@ -111,8 +111,14 @@ class NeRFRender:
         k_strat, k_pdf = jax.random.split(key)
         rays = create_rays(calib, pose_r, pose_t, uv)
 
+        # per-PIXEL RNG derivation: draws depend on (key, pixel), not on
+        # the batch layout, so DP-sharded training (parallel/mesh.py) and
+        # chunked eval renders are bitwise independent of the partitioning
+        pixel_ids = uv[:, 0] * 65536 + uv[:, 1]
+
         dists_coarse = stratified_dists(
-            k_strat, batch_size, self.sample_coarse, self.dist_near, self.dist_far
+            k_strat, batch_size, self.sample_coarse, self.dist_near,
+            self.dist_far, pixel_ids=pixel_ids,
         )
         samples_coarse = self._make_sampling(rays, dists_coarse)
 
@@ -134,7 +140,8 @@ class NeRFRender:
 
         dists_fine = jax.lax.stop_gradient(
             sample_pdf(
-                k_pdf, dists_coarse, integrate_coarse["weight"], self.sample_fine + 1
+                k_pdf, dists_coarse, integrate_coarse["weight"],
+                self.sample_fine + 1, pixel_ids=pixel_ids,
             )
         )
         samples_fine = self._make_sampling(rays, dists_fine)
