@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_M = 256  # samples per forward grid step
+TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep)
 # backward recomputes + stashes per-layer tensors in VMEM, so it uses a
 # smaller tile to stay under the ~16MB scoped-VMEM budget
 TILE_M_BWD = 128

@@ -37,21 +37,27 @@ def generate_mesh(
     resolution: int = 64,
     threshold: float = 0.0275,
     cube_range: float = 1.1,
+    field_name: str = "distance",
 ):
-    """Voxelize + mesh the distance field; returns (vertices, triangles)."""
+    """Voxelize + mesh a scalar field; returns (vertices, triangles).
+
+    ``distance`` for NeDDF (reference default, iso 0.0275), ``sdf`` for
+    NeuS (iso 0.0), ``density`` for NeRF (pick a density iso level).
+    """
     from neddf_tpu.fields.base import voxelize
     from neddf_tpu.viz import export_dae, export_obj, marching_tetrahedra
 
     mesh_dir = output_dir / "mesh"
     mesh_dir.mkdir(parents=True, exist_ok=True)
-    voxel_path = mesh_dir / f"voxel_{resolution}.npy"
+    suffix = "" if field_name == "distance" else f"_{field_name}"
+    voxel_path = mesh_dir / f"voxel{suffix}_{resolution}.npy"
     if voxel_path.exists():
         voxel = np.load(voxel_path)
     else:
         voxel = voxelize(
             trainer.neural_render.network_fine,
             trainer.params["network_fine"],
-            field_name="distance",
+            field_name=field_name,
             cube_range=cube_range,
             cube_resolution=resolution,
         )
@@ -61,7 +67,7 @@ def generate_mesh(
     vertices -= resolution / 2.0
     vertices *= 2.0 * cube_range / resolution
 
-    dae_path = mesh_dir / f"mesh_{resolution}_threshold{threshold}.dae"
+    dae_path = mesh_dir / f"mesh{suffix}_{resolution}_threshold{threshold}.dae"
     export_dae(dae_path, vertices, triangles, name="mcube")
     export_obj(dae_path.with_suffix(".obj"), vertices, triangles)
     print(
@@ -112,6 +118,10 @@ def main() -> None:
     parser.add_argument("--epoch", type=int, default=2000)
     parser.add_argument("--resolution", type=int, default=64)
     parser.add_argument("--threshold", type=float, default=0.0275)
+    parser.add_argument(
+        "--field", type=str, default="distance",
+        help="scalar field to mesh: distance (NeDDF), sdf (NeuS), density",
+    )
     parser.add_argument("--slices", type=int, default=5)
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--gui", action="store_true")
@@ -128,7 +138,8 @@ def main() -> None:
     trainer = _load_trainer(output_dir, args.epoch, args.device)
 
     vertices, triangles = generate_mesh(
-        trainer, output_dir, args.resolution, args.threshold
+        trainer, output_dir, args.resolution, args.threshold,
+        field_name=args.field,
     )
     export_field_slices(trainer, output_dir, args.slices)
 

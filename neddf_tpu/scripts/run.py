@@ -2,10 +2,16 @@
 
 Usage:
     python -m neddf_tpu.scripts.run [group=name ...] [a.b.c=value ...]
+    python -m neddf_tpu.scripts.run --resume <run_dir>
 
 Composes config/config.yaml with Hydra-style overrides, creates a run
 directory outputs/{date}/{time}, snapshots .hydra/ for later eval
 recomposition, and trains. Seed 3408 honored like the reference.
+
+``--resume`` recomposes the snapshot saved in <run_dir>/.hydra, loads
+the newest models/model_*.ckpt (full state: params + optimizer +
+iteration + camera deltas — a capability the reference lacks, its .pth
+holds weights only) and continues training in the same directory.
 """
 from __future__ import annotations
 
@@ -15,8 +21,27 @@ import sys
 from pathlib import Path
 
 
+def _resume(run_dir: Path) -> None:
+    from neddf_tpu import config as config_lib
+
+    run_dir = run_dir.resolve()
+    cfg = config_lib.load_snapshot(run_dir)
+    os.chdir(run_dir)
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    ckpts = sorted((run_dir / "models").glob("model_*.ckpt"))
+    if not ckpts:
+        raise FileNotFoundError(f"no models/model_*.ckpt under {run_dir}")
+    trainer.load_checkpoint(ckpts[-1])
+    print(f"resumed from {ckpts[-1]} at iteration {trainer.iteration}")
+    trainer.run_train()
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "--resume":
+        _resume(Path(argv[1]))
+        return
 
     repo_root = Path(__file__).resolve().parents[2]
     from neddf_tpu import config as config_lib

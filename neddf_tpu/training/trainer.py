@@ -168,10 +168,14 @@ class BaseTrainer:
         if model_path.suffix == ".pth":
             self.params = import_torch_state_dict(model_path, self.neural_render)
         else:
+            from flax import serialization
+
+            # template-less msgpack restore turns lists into string-keyed
+            # dicts; re-impose the live params structure
             state = load_pytree(model_path, None)
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, state["params"] if "params" in state else state
-            )
+            raw = state["params"] if "params" in state else state
+            self.params = serialization.from_state_dict(self.params, raw)
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         self.params = jax.device_put(self.params, self.device)
 
     def render_test(self, output_dir: Path, camera_id: int, downsampling: int = 1) -> None:
@@ -377,9 +381,14 @@ class NeRFTrainer(BaseTrainer):
 
         frame_length = len(self.dataset)
         rng = np.random.default_rng(self.seed)
+        # resume support: skip completed epochs, drawing their camera
+        # permutations anyway so the RNG stream matches an uninterrupted run
+        start_epoch = self.iteration // max(frame_length, 1)
         for epoch in range(0, self.epoch_max + 1):
-            print("epoch: ", epoch)
             camera_ids = rng.permutation(frame_length)
+            if epoch < start_epoch:
+                continue
+            print("epoch: ", epoch)
             for camera_id in camera_ids:
                 self.run_train_step(int(camera_id))
             self._flush_logs()
