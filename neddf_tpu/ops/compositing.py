@@ -30,6 +30,7 @@ def integrate_volume_render(
     densities: Array,
     colors: Array,
     max_dist: float,
+    deltas: Array = None,
 ) -> Dict[str, Array]:
     """Integrate densities/colors along rays.
 
@@ -38,11 +39,16 @@ def integrate_volume_render(
         densities: [B, S] volume densities.
         colors: [B, S, 3] RGB at samples.
         max_dist: background depth added with weight T_final.
+        deltas: optional [B, S-1] interval lengths overriding
+            diff(dists) — used by occupancy culling, where gaps between
+            kept samples span zero-density space and must not widen the
+            boundary sample's own interval.
 
     Returns:
         dict(weight [B, S-1], depth [B], color [B, 3], transmittance [B]).
     """
-    deltas = dists[:, 1:] - dists[:, :-1]
+    if deltas is None:
+        deltas = dists[:, 1:] - dists[:, :-1]
     alpha = 1.0 - jnp.exp(-densities[:, :-1] * deltas)
     # cumulative transmittance including the leading 1 and trailing total
     surv = 1.0 - alpha + 1e-7  # > 0 by construction

@@ -1,0 +1,160 @@
+"""Occupancy-grid sample culling (NerfAcc-style, TPU-native).
+
+The reference evaluates its field MLP at every stratified/hierarchical
+sample (64 coarse + 194 fine per ray) even deep in empty space. An
+occupancy grid (NerfAcc, arXiv:2305.04966) skips empty samples; CUDA
+implementations compact rays into variable-length segments, which is
+hostile to XLA's static shapes. The TPU-native formulation here keeps
+everything fixed-shape:
+
+* ``OccupancyGrid`` — a dense [R, R, R] float grid over the scene cube,
+  updated as an exponential moving MAX of the field's density (queried
+  on a jittered lattice so cells are probed at varying offsets).
+* ``lookup`` — trilinear-free nearest-cell gather of occupancy for
+  [B, S] sample positions (one gather, VPU-friendly).
+* ``select_samples`` — per-ray TOP-K selection: every ray keeps a
+  static budget of K samples, chosen by (occupied, then order) via a
+  single argsort of a composite key. Rays fully in empty space keep
+  their first K samples (they composite to ~zero anyway). The field is
+  then evaluated on [B, K] instead of [B, S] — a real 1/(S/K) cut of
+  the MLP cost with zero dynamic shapes.
+* ``scatter_outputs`` — re-expands culled outputs to the dense [B, S]
+  sample axis (kept for tooling; the renderer's accelerated path
+  composites directly on the selected subsequence with gathered dense
+  deltas instead — exactly equivalent and scatter-free).
+
+MEASURED REALITY on TPU v5e (bunny_smoke, 29% occupancy, 200-epoch
+model): the culled path is 0.8x the DENSE render speed even when the
+MLP work drops to 12% — the per-sample grid gather ([B, S] random
+indices into a 64^3 table) and the per-ray top-K sort cost more than
+the dense MXU evaluation they save. Occupancy culling pays off on
+architectures where the MLP dominates (GPU megakernels) or for much
+lower-occupancy scenes with wider sample axes; on TPU the dense batched
+formulation is already compute-cheap. The module stays as an opt-in
+(``render_image(..., occupancy=grid)``) with exactness guaranteed by
+tests when budget == S.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class OccupancyGrid(NamedTuple):
+    values: Array  # [R, R, R] occupancy (EMA of max density per cell)
+    cube_range: float  # grid spans [-cube_range, cube_range]^3
+    threshold: float  # density above which a cell counts as occupied
+
+    @property
+    def resolution(self) -> int:
+        return self.values.shape[0]
+
+
+def make_grid(
+    resolution: int = 64, cube_range: float = 1.1, threshold: float = 0.01
+) -> OccupancyGrid:
+    """Fresh grid, everything occupied (safe before any update)."""
+    values = jnp.full((resolution,) * 3, jnp.inf, jnp.float32)
+    return OccupancyGrid(values, cube_range, threshold)
+
+
+def _cell_ids(grid: OccupancyGrid, pos: Array) -> Array:
+    """[..., 3] world position -> [...] flat cell index (clamped)."""
+    r = grid.resolution
+    x = (pos + grid.cube_range) / (2.0 * grid.cube_range) * r
+    ids = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, r - 1)
+    return (ids[..., 0] * r + ids[..., 1]) * r + ids[..., 2]
+
+
+def lookup(grid: OccupancyGrid, pos: Array) -> Array:
+    """Occupancy flags (0/1 float) for sample positions [..., 3]."""
+    flat = grid.values.reshape(-1)
+    occ = flat[_cell_ids(grid, pos)]
+    inside = jnp.all(jnp.abs(pos) <= grid.cube_range, axis=-1)
+    return jnp.where(inside, (occ > grid.threshold).astype(jnp.float32), 0.0)
+
+
+def update_grid(
+    grid: OccupancyGrid,
+    field,
+    params,
+    sched,
+    key: Array,
+    decay: float = 0.95,
+    chunk: int = 65536,
+) -> OccupancyGrid:
+    """EMA-max update of the grid from the current field (jit-safe).
+
+    Queries every cell at one uniformly jittered intra-cell offset per
+    call (NerfAcc's stochastic probing) and sets
+    ``new = max(decay * old, density)``.
+    """
+    from neddf_tpu.geometry.rays import Sampling
+
+    r = grid.resolution
+    cell = 2.0 * grid.cube_range / r
+    line = (jnp.arange(r, dtype=jnp.float32) + 0.5) * cell - grid.cube_range
+    xs, ys, zs = jnp.meshgrid(line, line, line, indexing="ij")
+    centers = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+    jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
+    pos = centers + jitter
+
+    n = pos.shape[0]
+    direction = jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    densities = []
+    for i in range(0, n, chunk):
+        sampling = Sampling(
+            sample_pos=pos[i : i + chunk][None],
+            sample_dir=direction[i : i + chunk][None],
+            diag_variance=jnp.zeros((1, min(chunk, n - i), 3), jnp.float32),
+        )
+        densities.append(field.apply(params, sampling, sched)["density"][0])
+    density = jnp.concatenate(densities).reshape(r, r, r)
+
+    old = jnp.where(jnp.isinf(grid.values), density, grid.values)
+    new = jnp.maximum(decay * old, density)
+    return OccupancyGrid(new, grid.cube_range, grid.threshold)
+
+
+def select_samples(
+    dists: Array, occ: Array, budget: int
+) -> Tuple[Array, Array]:
+    """Per-ray top-``budget`` sample selection by occupancy.
+
+    Args:
+        dists: [B, S] sample distances (ascending).
+        occ: [B, S] occupancy flags (1 = occupied).
+        budget: static number of samples to keep per ray (K <= S).
+
+    Returns:
+        (sel_dists [B, K] ascending, sel_idx [B, K] into the S axis).
+    """
+    s = dists.shape[-1]
+    order = jnp.arange(s, dtype=jnp.float32)[None, :]
+    # occupied samples first (key 0..S-1), empty pushed behind (key +S);
+    # ties keep ascending-depth order, so the kept set is the first K
+    # occupied samples along the ray
+    key = order + (1.0 - occ) * s
+    sel_idx = jnp.argsort(key, axis=-1)[:, :budget]
+    sel_idx = jnp.sort(sel_idx, axis=-1)
+    sel_dists = jnp.take_along_axis(dists, sel_idx, axis=-1)
+    return sel_dists, sel_idx
+
+
+def scatter_outputs(
+    values: Array, sel_idx: Array, s: int, fill: float = 0.0
+) -> Array:
+    """Re-expand per-selected-sample values [B, K(, C)] to [B, S(, C)].
+
+    Culled slots get ``fill`` (0 density -> zero compositing weight).
+    """
+    b, k = sel_idx.shape
+    out_shape = (b, s) + values.shape[2:]
+    out = jnp.full(out_shape, fill, values.dtype)
+    if values.ndim == 2:
+        return out.at[jnp.arange(b)[:, None], sel_idx].set(values)
+    return out.at[jnp.arange(b)[:, None], sel_idx].set(values)

@@ -170,6 +170,112 @@ class NeRFRender:
             return get_sampling_cones(rays, dists, _CONE_RAY_RADIUS)
         raise ValueError(f"unknown sampling_type {self.sampling_type!r}")
 
+    # --------------------------------------------- occupancy-accelerated
+    def build_occupancy(
+        self,
+        params,
+        key: Array,
+        resolution: int = 64,
+        threshold: float = 0.01,
+        n_updates: int = 4,
+        cube_range: float = 1.1,
+    ):
+        """Build an occupancy grid from the trained fine field."""
+        from neddf_tpu.ops.occupancy import make_grid, update_grid
+
+        grid = make_grid(resolution, cube_range, threshold)
+        sched = self.network_fine.schedule(-1)
+        update = jax.jit(
+            lambda g, k: update_grid(g, self.network_fine, params["network_fine"],
+                                     sched, k)
+        )
+        for _ in range(n_updates):
+            key, sub = jax.random.split(key)
+            grid = update(grid, sub)
+        return grid
+
+    def render_rays_accel(
+        self,
+        params,
+        calib: PinholeCalib,
+        pose_r: Array,
+        pose_t: Array,
+        uv: Array,
+        key: Array,
+        grid,
+        budget_coarse: int = 16,
+        budget_fine: int = 64,
+    ) -> Dict[str, Array]:
+        """Eval-time render with occupancy-culled field evaluation.
+
+        Same sampling pattern as ``render_rays`` (iteration = -1), but
+        the field MLP only runs on each ray's top-``budget`` occupied
+        samples (neddf_tpu.ops.occupancy); culled samples contribute
+        zero density, so compositing over the dense sample axis is
+        unchanged. Cuts the MLP cost by S/K with static shapes.
+        """
+        from neddf_tpu.ops.occupancy import lookup, select_samples
+
+        batch_size = uv.shape[0]
+        k_strat, k_pdf = jax.random.split(key)
+        rays = create_rays(calib, pose_r, pose_t, uv)
+        pixel_ids = uv[:, 0] * 65536 + uv[:, 1]
+        sched = self.network_fine.schedule(-1)
+
+        def culled_pass(network, net_params, dists, budget):
+            """Integrate over each ray's top-``budget`` occupied samples.
+
+            No scatter: compositing runs directly on the selected
+            subsequence with each kept sample's ORIGINAL interval length
+            (gaps between kept samples span culled zero-density space,
+            exactly as if the dense axis carried zeros there).
+            """
+            pos = rays.ray_orig[:, None, :] + rays.ray_dir[:, None, :] * dists[..., None]
+            occ = lookup(grid, pos)
+            sel_dists, sel_idx = select_samples(dists, occ, budget)
+            dense_deltas = dists[:, 1:] - dists[:, :-1]
+            # own-interval length of each kept sample (last interval of
+            # the dense axis reused for a kept terminal sample)
+            sel_deltas = jnp.take_along_axis(
+                dense_deltas,
+                jnp.minimum(sel_idx[:, :-1], dense_deltas.shape[-1] - 1),
+                axis=-1,
+            )
+            sampling = self._make_sampling(rays, sel_dists)
+            values = network.apply(net_params, sampling, sched)
+            return (
+                integrate_volume_render(
+                    sel_dists, values["density"], values["color"],
+                    self.max_dist, deltas=sel_deltas,
+                ),
+                sel_dists,
+            )
+
+        dists_coarse = stratified_dists(
+            k_strat, batch_size, self.sample_coarse, self.dist_near,
+            self.dist_far, pixel_ids=pixel_ids,
+        )
+        integrate_coarse, sel_coarse = culled_pass(
+            self.network_coarse, self._coarse_params(params), dists_coarse,
+            min(budget_coarse, dists_coarse.shape[-1]),
+        )
+
+        # hierarchical sampling over the SELECTED coarse intervals: fine
+        # samples land only where the coarse pass saw occupied space
+        dists_fine = jax.lax.stop_gradient(
+            sample_pdf(
+                k_pdf, sel_coarse, integrate_coarse["weight"],
+                self.sample_fine + 1, pixel_ids=pixel_ids,
+            )
+        )
+        integrate, _ = culled_pass(
+            self.network_fine, params["network_fine"], dists_fine,
+            min(budget_fine, dists_fine.shape[-1]),
+        )
+        for k, v in integrate_coarse.items():
+            integrate[f"{k}_coarse"] = v
+        return integrate
+
     # --------------------------------------------------------- render_image
     @lru_cache(maxsize=4)
     def _render_rays_jit(self, chunk: int):
@@ -192,9 +298,14 @@ class NeRFRender:
         downsampling: int = 1,
         chunk: int = 512,
         key: Optional[Array] = None,
+        occupancy=None,
+        budget_coarse: int = 16,
+        budget_fine: int = 64,
     ) -> Dict[str, np.ndarray]:
         """Chunked full-image render (no grad), one compiled program.
 
+        With ``occupancy`` (an ops.occupancy.OccupancyGrid) the field is
+        only evaluated on each ray's top-budget occupied samples.
         Returns numpy images [h, w, C] per requested target.
         """
         if key is None:
@@ -207,7 +318,15 @@ class NeRFRender:
         uv_all = np.stack([us, vs], axis=1)
         n = uv_all.shape[0]
 
-        render_fn = self._render_rays_jit(chunk)
+        if occupancy is not None:
+            render_fn = jax.jit(
+                lambda params, calib, r, t, uv, key: self.render_rays_accel(
+                    params, calib, r, t, uv, key, occupancy,
+                    budget_coarse, budget_fine,
+                )
+            )
+        else:
+            render_fn = self._render_rays_jit(chunk)
         outs: Dict[str, List[np.ndarray]] = {k: [] for k in target_types}
         for below in range(0, n, chunk):
             above = min(n, below + chunk)

@@ -1,0 +1,128 @@
+"""Occupancy-grid culling: lookup, top-K selection, scatter, and the
+accelerated render path matching the dense render where the grid is
+accurate."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neddf_tpu.ops.occupancy import (
+    OccupancyGrid,
+    lookup,
+    make_grid,
+    scatter_outputs,
+    select_samples,
+)
+
+
+def _sphere_grid(resolution=32, radius=0.5, cube_range=1.1):
+    r = resolution
+    line = (jnp.arange(r) + 0.5) / r * 2 * cube_range - cube_range
+    xs, ys, zs = jnp.meshgrid(line, line, line, indexing="ij")
+    inside = (xs**2 + ys**2 + zs**2) < radius**2
+    return OccupancyGrid(inside.astype(jnp.float32), cube_range, 0.5)
+
+
+def test_lookup_inside_outside():
+    grid = _sphere_grid()
+    pos = jnp.array([[[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [5.0, 0.0, 0.0]]])
+    occ = lookup(grid, pos)
+    assert occ.shape == (1, 3)
+    assert occ[0, 0] == 1.0  # center: occupied
+    assert occ[0, 1] == 0.0  # inside cube, outside sphere
+    assert occ[0, 2] == 0.0  # outside cube entirely
+
+
+def test_fresh_grid_all_occupied():
+    grid = make_grid(8, 1.1, 0.01)
+    pos = jnp.zeros((2, 5, 3))
+    assert bool(jnp.all(lookup(grid, pos) == 1.0))
+
+
+def test_select_samples_prefers_occupied():
+    dists = jnp.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]])
+    occ = jnp.array([[0.0, 1.0, 0.0, 1.0, 1.0, 0.0]])
+    sel_d, sel_i = select_samples(dists, occ, 3)
+    np.testing.assert_array_equal(np.asarray(sel_i), [[1, 3, 4]])
+    np.testing.assert_array_equal(np.asarray(sel_d), [[2.0, 4.0, 5.0]])
+
+
+def test_select_samples_pads_with_empty_when_short():
+    dists = jnp.array([[1.0, 2.0, 3.0, 4.0]])
+    occ = jnp.array([[0.0, 1.0, 0.0, 0.0]])
+    sel_d, sel_i = select_samples(dists, occ, 3)
+    # the single occupied sample plus the earliest empty ones
+    assert 1 in np.asarray(sel_i)[0]
+    assert sel_d.shape == (1, 3)
+
+
+def test_scatter_roundtrip():
+    vals = jnp.array([[10.0, 20.0], [30.0, 40.0]])
+    idx = jnp.array([[1, 3], [0, 2]])
+    out = scatter_outputs(vals, idx, 5)
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        [[0, 10, 0, 20, 0], [30, 0, 40, 0, 0]],
+    )
+    vals3 = jnp.ones((2, 2, 3))
+    out3 = scatter_outputs(vals3, idx, 5)
+    assert out3.shape == (2, 5, 3)
+    assert float(out3.sum()) == 12.0
+
+
+@pytest.fixture(scope="module")
+def tiny_renderer():
+    from neddf_tpu.render import NeRFRender
+
+    return NeRFRender(
+        network_config={
+            "_target_": "neddf_tpu.fields.NeDDF",
+            "embed_pos_rank": 4, "embed_dir_rank": 2,
+            "ddf_layer_count": 4, "ddf_layer_width": 16,
+            "col_layer_count": 3, "col_layer_width": 16,
+            "skips": (1,), "d_near": 0.001,
+        },
+        sample_coarse=8, sample_fine=16,
+        use_coarse_network=False, sampling_type="point",
+    )
+
+
+def test_accel_matches_dense_with_full_grid(tiny_renderer, key, calib_params):
+    """With an all-occupied grid and budget == S the accelerated path
+    must reproduce the dense render exactly."""
+    from neddf_tpu.geometry import PinholeCalib
+
+    r = tiny_renderer
+    params = r.init(key)
+    calib = PinholeCalib(calib_params)
+    pose_r = jnp.eye(3)
+    pose_t = jnp.array([0.0, 0.0, 4.0])
+    uv = jnp.stack([jnp.arange(6, dtype=jnp.int32) * 50,
+                    jnp.arange(6, dtype=jnp.int32) * 40], axis=1)
+    grid = make_grid(16, 6.0, 0.0)  # everything occupied, covers rays
+    dense = r.render_rays(params, calib, pose_r, pose_t, uv, key, -1)
+    accel = r.render_rays_accel(
+        params, calib, pose_r, pose_t, uv, key, grid,
+        budget_coarse=9, budget_fine=26,  # == full sample axes
+    )
+    for k in ("color", "depth", "transmittance"):
+        np.testing.assert_allclose(
+            np.asarray(accel[k]), np.asarray(dense[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_accel_runs_with_tight_budget(tiny_renderer, key, calib_params):
+    from neddf_tpu.geometry import PinholeCalib
+
+    r = tiny_renderer
+    params = r.init(key)
+    calib = PinholeCalib(calib_params)
+    uv = jnp.stack([jnp.arange(4, dtype=jnp.int32) * 50] * 2, axis=1)
+    grid = make_grid(16, 6.0, 0.0)
+    out = r.render_rays_accel(
+        params, calib, jnp.eye(3), jnp.array([0.0, 0.0, 4.0]), uv, key, grid,
+        budget_coarse=4, budget_fine=8,
+    )
+    assert out["color"].shape == (4, 3)
+    assert bool(jnp.all(jnp.isfinite(out["color"])))
