@@ -146,6 +146,22 @@ class NeDDF(BaseField):
     def _kernel_out_dtype(self) -> str:
         return "bfloat16" if jnp.dtype(self.compute_dtype) != jnp.float32 else "float32"
 
+    # per-kernel-call row cap: programs containing the kernels' grad at
+    # M ~ 8e5 rows miscompile on current v5e toolchains (see
+    # kernels/dual_mlp.py docstring); splitting into <= CAP row calls
+    # keeps every invocation in the verified regime
+    _KERNEL_ROW_CAP = 393216  # 256 * 1536, verified clean
+
+    @staticmethod
+    def _chunked_kernel(call, m: int, cap: int):
+        """Run ``call(lo, hi)`` over row chunks and concat (static loop)."""
+        if m <= cap:
+            return call(0, m)
+        outs = [call(lo, min(lo + cap, m)) for lo in range(0, m, cap)]
+        vs = jnp.concatenate([o[0] for o in outs], axis=0)
+        js = jnp.concatenate([o[1] for o in outs], axis=1)
+        return vs, js
+
     def _trunk_fused_planes(self, params, emb_v: Array, emb_j: Array):
         """DDF trunk through the fused Pallas kernel, planes in/out."""
         from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
@@ -158,10 +174,14 @@ class NeDDF(BaseField):
         # s+1 consumes [embed, h] -> mark it as the split layer
         layout = tuple((li - 1) in self.skips for li in range(len(weights)))
         interp = jax.default_backend() != "tpu"  # CPU tests: interpreter
-        v, j = dual_mlp_seg(
-            (v0,), (j0,), weights, biases, layout, self.activation_type,
-            (True,), self._kernel_out_dtype(), interp,
-        )
+
+        def call(lo, hi):
+            return dual_mlp_seg(
+                (v0[lo:hi],), (j0[:, lo:hi],), weights, biases, layout,
+                self.activation_type, (True,), self._kernel_out_dtype(), interp,
+            )
+
+        v, j = self._chunked_kernel(call, v0.shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
     def _color_fused_planes(self, params, vs, js):
@@ -178,10 +198,16 @@ class NeDDF(BaseField):
         biases = tuple(l["b"] for l in params["layers_col"])
         layout = (False,) * len(weights)
         interp = jax.default_backend() != "tpu"
-        v, j = dual_mlp_seg(
-            vs_p, js_p, weights, biases, layout, self.activation_type,
-            (True, False, False, True), self._kernel_out_dtype(), interp,
-        )
+
+        def call(lo, hi):
+            return dual_mlp_seg(
+                tuple(v[lo:hi] for v in vs_p),
+                tuple(j[:, lo:hi] for j in js_p),
+                weights, biases, layout, self.activation_type,
+                (True, False, False, True), self._kernel_out_dtype(), interp,
+            )
+
+        v, j = self._chunked_kernel(call, vs_p[0].shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
     def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:

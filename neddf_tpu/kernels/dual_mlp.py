@@ -32,12 +32,16 @@ reverse-over-forward (loss gradients THROUGH the Jacobian-derived
 density) works exactly like the jnp path in neddf_tpu.ops.dual.
 
 KNOWN LIMIT: verified correct (vs the jnp path, forward and gradients)
-up to M ≈ 4e5 rows per call on v5e. At M ≈ 8e5 (train batch 4096 rays x
-194 samples) the grad-compiled program deterministically produces NaNs
-on ~14% of rays in BOTH f32 and bf16 while the identical forward-only
-program is clean — suspected XLA/Mosaic interaction at that buffer
-scale, under investigation. All shipping configs (batch <= 1024 rays,
-render chunks <= 1024) stay far below the limit.
+up to M ≈ 4e5 rows per call on v5e; NeDDF chunks larger batches into
+<= 393216-row calls. Independently of kernel call size, the WHOLE
+grad-compiled render program at train batch 4096 rays x 194 samples
+deterministically produces NaNs on ~14% of (early) rays in BOTH f32
+and bf16 while the identical forward-only program is clean — the
+pattern (contiguous early-ray block, onset mid-ray, unchanged across
+two kernel rewrites and with chunked calls) indicates an XLA-level
+miscompile at that program scale, not a kernel defect. All shipping
+configs (batch <= 1024 rays, render chunks <= 1024) are unaffected;
+B = 2048 is verified clean end-to-end.
 """
 from __future__ import annotations
 
