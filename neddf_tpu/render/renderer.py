@@ -327,7 +327,11 @@ class NeRFRender:
             )
         else:
             render_fn = self._render_rays_jit(chunk)
-        outs: Dict[str, List[np.ndarray]] = {k: [] for k in target_types}
+        # dispatch ALL chunks asynchronously, fetch once at the end — a
+        # per-chunk np.asarray would sync the (tunnelled) device every
+        # iteration and serialize transfer with compute
+        pending: List[Dict[str, Array]] = []
+        sizes: List[int] = []
         for below in range(0, n, chunk):
             above = min(n, below + chunk)
             uv_chunk = uv_all[below:above]
@@ -336,8 +340,13 @@ class NeRFRender:
                 uv_chunk = np.pad(uv_chunk, ((0, pad), (0, 0)), mode="edge")
             key, sub = jax.random.split(key)
             result = render_fn(params, calib, pose_r, pose_t, jnp.asarray(uv_chunk), sub)
+            pending.append({k: result[k] for k in target_types})
+            sizes.append(above - below)
+        fetched = jax.device_get(pending)
+        outs: Dict[str, List[np.ndarray]] = {k: [] for k in target_types}
+        for got, size in zip(fetched, sizes):
             for k in target_types:
-                outs[k].append(np.asarray(result[k])[: above - below])
+                outs[k].append(np.asarray(got[k])[:size])
         return {k: np.concatenate(outs[k], 0).reshape(h, w, -1) for k in target_types}
 
     # ---------------------------------------------------- render_field_slice
