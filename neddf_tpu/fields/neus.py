@@ -47,9 +47,21 @@ class NeuS(BaseField):
     activation_type: str = "ReLU"
     init_variance: float = 0.3
     skips: Tuple[int, ...] = (4,)
+    # fused Pallas kernel for the COLOR branch only ("auto" = TPU). The
+    # SDF trunk cannot fuse: its normals come from jax.grad THROUGH the
+    # trunk and the outer loss differentiates again (second order), which
+    # a custom_vjp kernel does not provide.
+    fused: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
+
+    def _use_fused(self) -> bool:
+        if self.fused == "on":
+            return True
+        if self.fused == "off":
+            return False
+        return jax.default_backend() == "tpu"
 
     @property
     def input_sdf_dim(self) -> int:
@@ -106,10 +118,27 @@ class NeuS(BaseField):
         sdf = sdf_feature[:, :1]
 
         embed_dir = positional_encoding(direction, self.embed_dir_rank)
-        hx = jnp.concatenate([pos, embed_dir, gradients, sdf_feature], axis=1)
-        for layer in params["layers_col"]:
-            hx = act(linear_apply(layer, hx))
-        color = hx
+        if self._use_fused():
+            from neddf_tpu.kernels.dual_mlp import pad_rows
+            from neddf_tpu.kernels.mlp import TILE_M, mlp_seg
+
+            segs = (pos, embed_dir, gradients, sdf_feature)
+            padded = [pad_rows(s, TILE_M) for s in segs]
+            m = pos.shape[0]
+            color = mlp_seg(
+                tuple(p for p, _ in padded),
+                tuple(l["w"] for l in params["layers_col"]),
+                tuple(l["b"] for l in params["layers_col"]),
+                (False,) * len(params["layers_col"]),
+                self.activation_type,
+                "float32",
+                jax.default_backend() != "tpu",
+            )[:m]
+        else:
+            hx = jnp.concatenate([pos, embed_dir, gradients, sdf_feature], axis=1)
+            for layer in params["layers_col"]:
+                hx = act(linear_apply(layer, hx))
+            color = hx
 
         s10 = params["variance"] * 10.0
         ex = jnp.exp(-s10 * sdf)
