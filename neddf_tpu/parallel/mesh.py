@@ -202,6 +202,22 @@ def make_sharded_train_step(
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     # ---- GSPMD: TP width sharding + derived collectives ----------------
+    # the SPMD partitioner cannot split Pallas custom calls, so force the
+    # cleanly-partitionable jnp dual path for width-sharded fields
+    import dataclasses
+
+    shared = renderer.network_coarse is renderer.network_fine
+    if getattr(renderer.network_fine, "fused", "off") != "off":
+        renderer.network_fine = dataclasses.replace(
+            renderer.network_fine, fused="off"
+        )
+    if shared:
+        renderer.network_coarse = renderer.network_fine
+    elif getattr(renderer.network_coarse, "fused", "off") != "off":
+        renderer.network_coarse = dataclasses.replace(
+            renderer.network_coarse, fused="off"
+        )
+
     def train_step(params, opt_state, camera_deltas, rgb_images,
                    mask_images, camera_initials, key, camera_id, iteration):
         (loss, mse), grads = local_loss(

@@ -185,13 +185,14 @@ class NeRFRender:
 
         grid = make_grid(resolution, cube_range, threshold)
         sched = self.network_fine.schedule(-1)
+        # params are a jit ARGUMENT (closure constants get baked into the
+        # program and can overflow remote-compile transports)
         update = jax.jit(
-            lambda g, k: update_grid(g, self.network_fine, params["network_fine"],
-                                     sched, k)
+            lambda g, p, k: update_grid(g, self.network_fine, p, sched, k)
         )
         for _ in range(n_updates):
             key, sub = jax.random.split(key)
-            grid = update(grid, sub)
+            grid = update(grid, params["network_fine"], sub)
         return grid
 
     def render_rays_accel(
@@ -278,6 +279,16 @@ class NeRFRender:
 
     # --------------------------------------------------------- render_image
     @lru_cache(maxsize=4)
+    def _render_accel_jit(self, budget_coarse: int, budget_fine: int):
+        """Cached jit of the occupancy-culled path; the grid is an
+        argument (its values change between updates), budgets are static."""
+        return jax.jit(
+            lambda params, calib, r, t, uv, key, grid: self.render_rays_accel(
+                params, calib, r, t, uv, key, grid, budget_coarse, budget_fine
+            )
+        )
+
+    @lru_cache(maxsize=4)
     def _render_rays_jit(self, chunk: int):
         del chunk  # cache key only; shapes drive the actual specialisation
         return jax.jit(
@@ -319,11 +330,9 @@ class NeRFRender:
         n = uv_all.shape[0]
 
         if occupancy is not None:
-            render_fn = jax.jit(
-                lambda params, calib, r, t, uv, key: self.render_rays_accel(
-                    params, calib, r, t, uv, key, occupancy,
-                    budget_coarse, budget_fine,
-                )
+            accel_fn = self._render_accel_jit(budget_coarse, budget_fine)
+            render_fn = lambda params, calib, r, t, uv, key: accel_fn(
+                params, calib, r, t, uv, key, occupancy
             )
         else:
             render_fn = self._render_rays_jit(chunk)

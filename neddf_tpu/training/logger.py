@@ -29,11 +29,15 @@ class BaseLogger:
         psnr: float,
         loss_dict: Dict[str, float],
         rays_per_sec: float = 0.0,
+        duration: float = None,
     ) -> None:
         self.loss = float(loss)
         self.psnr = float(psnr)
         self.loss_dict = {k: float(v) for k, v in loss_dict.items()}
         self.rays_per_sec = float(rays_per_sec)
+        # explicit per-step duration (batched flushing records several
+        # steps at once; the batchstart/batchend pair only covers the last)
+        self.duration = duration
 
     def write_batchstart(self) -> None:
         self.batchstart = time()
@@ -42,10 +46,13 @@ class BaseLogger:
         self.batchend = time()
 
     def next(self) -> None:
+        duration = getattr(self, "duration", None)
+        if duration is None:
+            duration = self.batchend - self.batchstart
         log_dict: Dict[str, float] = {
             "loss": self.loss,
             "PSNR": self.psnr,
-            "iteration duration": self.batchend - self.batchstart,
+            "iteration duration": duration,
             "total duration": self.batchend - self.loggerstart,
         }
         if getattr(self, "rays_per_sec", 0.0):

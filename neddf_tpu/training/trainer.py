@@ -101,6 +101,7 @@ class BaseTrainer:
         # arrive in batches (the reference syncs every step)
         self.log_interval = max(1, int(log_interval))
         self._pending_logs: List[Any] = []
+        self._last_loss = float("nan")
         # pose refinement: the reference exposes each Camera's 6-DoF delta
         # as an nn.Parameter (camera.py:40) but its default optimizer only
         # covers network params (nerf_render.py:94-107). Here the deltas
@@ -343,25 +344,27 @@ class NeRFTrainer(BaseTrainer):
             jnp.int32(camera_id),
             jnp.int32(self.iteration),
         )
-        self._pending_logs.append((loss, loss_dict, mse))
         self.iteration += 1
-        if len(self._pending_logs) >= self.log_interval:
-            loss_f = self._flush_logs()  # one device sync for the batch
-        else:
-            loss_f = float("nan")  # not yet materialised
         rays_per_sec = self.profiler.step_end()
-        self.logger.write_batchend()
+        self.logger.write_batchend()  # before flush: duration = end - start
         self.logger.rays_per_sec = rays_per_sec
-        return loss_f
+        self._pending_logs.append(
+            (loss, loss_dict, mse, self.logger.batchend - self.logger.batchstart)
+        )
+        if len(self._pending_logs) >= self.log_interval:
+            self._last_loss = self._flush_logs()  # one sync for the batch
+        # between flushes, return the last materialised loss (stale by up
+        # to log_interval-1 steps but always a real number)
+        return self._last_loss
 
     def _flush_logs(self) -> float:
         """Materialise pending device metrics and emit logger records."""
         if not self._pending_logs:
-            return float("nan")
+            return self._last_loss
         fetched = jax.device_get(self._pending_logs)
         self._pending_logs = []
-        loss_f = float("nan")
-        for loss, loss_dict, mse in fetched:
+        loss_f = self._last_loss
+        for loss, loss_dict, mse, duration in fetched:
             loss_f = float(loss)
             mse_f = float(mse)
             psnr = 10 * math.log10(1.0 / max(mse_f, 1e-12))
@@ -370,8 +373,10 @@ class NeRFTrainer(BaseTrainer):
                 psnr,
                 {k: float(v) for k, v in loss_dict.items()},
                 rays_per_sec=self.profiler.rays_per_sec(),
+                duration=duration,
             )
             self.logger.next()
+        self._last_loss = loss_f
         return loss_f
 
     # ----------------------------------------------------------- train loop
@@ -409,6 +414,8 @@ class NeRFTrainer(BaseTrainer):
                 "opt_state": jax.device_get(self.opt_state),
                 "iteration": self.iteration,
                 "camera_deltas": jax.device_get(self.camera_deltas),
+                "opt_state_cam": jax.device_get(self.opt_state_cam),
+                "key": jax.device_get(self.key),
             },
         )
 
@@ -418,9 +425,23 @@ class NeRFTrainer(BaseTrainer):
             "opt_state": jax.device_get(self.opt_state),
             "iteration": 0,
             "camera_deltas": jax.device_get(self.camera_deltas),
+            "opt_state_cam": jax.device_get(self.opt_state_cam),
+            "key": jax.device_get(self.key),
         }
-        state = load_pytree(path, template)
+        try:
+            state = load_pytree(path, template)
+        except (KeyError, ValueError):
+            # legacy checkpoints predate opt_state_cam/key; restore what
+            # they carry and keep fresh values for the rest
+            legacy = {
+                k: template[k]
+                for k in ("params", "opt_state", "iteration", "camera_deltas")
+            }
+            state = dict(template)
+            state.update(load_pytree(path, legacy))
         self.params = jax.device_put(state["params"], self.device)
         self.opt_state = jax.device_put(state["opt_state"], self.device)
         self.iteration = int(state["iteration"])
         self.camera_deltas = jax.device_put(state["camera_deltas"], self.device)
+        self.opt_state_cam = jax.device_put(state["opt_state_cam"], self.device)
+        self.key = jnp.asarray(state["key"])
