@@ -29,10 +29,16 @@ def _resume(run_dir: Path) -> None:
     os.chdir(run_dir)
     trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
     ckpts = sorted((run_dir / "models").glob("model_*.ckpt"))
-    if not ckpts:
-        raise FileNotFoundError(f"no models/model_*.ckpt under {run_dir}")
-    trainer.load_checkpoint(ckpts[-1])
-    print(f"resumed from {ckpts[-1]} at iteration {trainer.iteration}")
+    if ckpts:
+        latest = ckpts[-1]
+    elif (run_dir / "models").is_dir():
+        # async/orbax layout: step directories instead of .ckpt files;
+        # load_checkpoint resolves the latest step itself
+        latest = run_dir / "models" / "model_latest.ckpt"
+    else:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}/models")
+    trainer.load_checkpoint(latest)
+    print(f"resumed from {latest} at iteration {trainer.iteration}")
     trainer.run_train()
 
 

@@ -82,6 +82,7 @@ class BaseTrainer:
         log_interval: int = 1,
         optimize_camera: bool = False,
         camera_optimizer_lr: float = 1e-4,
+        async_checkpoint: bool = False,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
@@ -108,6 +109,10 @@ class BaseTrainer:
         # become a real optimizer target when enabled.
         self.optimize_camera = optimize_camera
         self.camera_optimizer_lr = camera_optimizer_lr
+        # preemption-safe async checkpointing (orbax): saves return
+        # immediately; run_train waits for pending writes at the end
+        self.async_checkpoint = async_checkpoint
+        self._async_ckpt = None
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
@@ -404,22 +409,39 @@ class NeRFTrainer(BaseTrainer):
                 self.render_test(render_dir / f"{epoch:04}", int(camera_ids[0]), 3)
             if epoch % self.epoch_save_model == 0:
                 self.save_checkpoint(Path("models") / f"model_{epoch:05}.ckpt")
+        self.finalize_checkpoints()
 
     # ----------------------------------------------------------- checkpoint
+    def _state_dict(self):
+        return {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "iteration": self.iteration,
+            "camera_deltas": jax.device_get(self.camera_deltas),
+            "opt_state_cam": jax.device_get(self.opt_state_cam),
+            "key": jax.device_get(self.key),
+        }
+
     def save_checkpoint(self, path: Path) -> None:
-        save_pytree(
-            path,
-            {
-                "params": jax.device_get(self.params),
-                "opt_state": jax.device_get(self.opt_state),
-                "iteration": self.iteration,
-                "camera_deltas": jax.device_get(self.camera_deltas),
-                "opt_state_cam": jax.device_get(self.opt_state_cam),
-                "key": jax.device_get(self.key),
-            },
-        )
+        path = Path(path)
+        if self.async_checkpoint:
+            from neddf_tpu.training.checkpoint import AsyncCheckpointer
+
+            if self._async_ckpt is None:
+                self._async_ckpt = AsyncCheckpointer(path.parent)
+            # step index from the reference-style file name model_{N}.ckpt
+            step = int(path.stem.split("_")[-1])
+            self._async_ckpt.save(step, self._state_dict())
+            return
+        save_pytree(path, self._state_dict())
+
+    def finalize_checkpoints(self) -> None:
+        """Block until pending async checkpoint writes are durable."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     def load_checkpoint(self, path: Path) -> None:
+        path = Path(path)
         template = {
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
@@ -428,6 +450,16 @@ class NeRFTrainer(BaseTrainer):
             "opt_state_cam": jax.device_get(self.opt_state_cam),
             "key": jax.device_get(self.key),
         }
+        if not path.exists() and path.parent.is_dir():
+            # orbax (async) layout: models/<step>/ directories
+            from neddf_tpu.training.checkpoint import AsyncCheckpointer
+
+            mgr = AsyncCheckpointer(path.parent)
+            step = mgr.latest_step()
+            if step is not None:
+                state = mgr.restore(step, template)
+                self._apply_checkpoint_state(state)
+                return
         try:
             state = load_pytree(path, template)
         except (KeyError, ValueError):
@@ -439,6 +471,9 @@ class NeRFTrainer(BaseTrainer):
             }
             state = dict(template)
             state.update(load_pytree(path, legacy))
+        self._apply_checkpoint_state(state)
+
+    def _apply_checkpoint_state(self, state) -> None:
         self.params = jax.device_put(state["params"], self.device)
         self.opt_state = jax.device_put(state["opt_state"], self.device)
         self.iteration = int(state["iteration"])

@@ -31,3 +31,32 @@ def test_multiple_steps_latest(tmp_path):
         ckpt.save(step, _state())
     ckpt.wait()
     assert ckpt.latest_step() == 300
+
+
+def test_trainer_async_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """trainer.async_checkpoint=true saves orbax step dirs and
+    load_checkpoint restores from them via the synthetic latest path."""
+    import os
+    from pathlib import Path
+
+    from neddf_tpu import config as config_lib
+
+    monkeypatch.chdir(tmp_path)
+    cfg = config_lib.compose(
+        Path(__file__).resolve().parents[2] / "config",
+        overrides=[
+            "trainer=test",
+            "dataset=test",
+            "dataset.dataset_dir=/root/reference/data/bunny_smoke",
+            "trainer.async_checkpoint=true",
+        ],
+    )
+    tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    tr.iteration = 5
+    tr.save_checkpoint(Path("models/model_00005.ckpt"))
+    tr.finalize_checkpoints()
+    assert (tmp_path / "models" / "5").exists()
+
+    tr2 = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    tr2.load_checkpoint(Path("models/model_latest.ckpt"))
+    assert tr2.iteration == 5
