@@ -24,6 +24,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/data/bunny_smoke"
+if not os.path.isdir(REFERENCE_DATA):
+    # hermetic fallback: generate an analytic scene so the suite runs
+    # without the reference repository mounted
+    import tempfile
+
+    from neddf_tpu.data.synthetic import generate_sphere_dataset
+
+    REFERENCE_DATA = str(
+        generate_sphere_dataset(
+            tempfile.mkdtemp(prefix="neddf_scene_"), n_train=8, n_test=2,
+            image_size=64,
+        )
+    )
 
 
 @pytest.fixture()

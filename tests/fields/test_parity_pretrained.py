@@ -18,6 +18,13 @@ sys.path.insert(0, "/root/reference")
 
 PTH = "/root/reference/pretrained/bunny_smoke/models/model_02000.pth"
 
+import os  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PTH),
+    reason="reference pretrained checkpoint not mounted",
+)
+
 NEDDF_KW = dict(
     embed_pos_rank=10,
     embed_dir_rank=4,

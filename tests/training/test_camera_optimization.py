@@ -6,7 +6,7 @@ import pytest
 
 from neddf_tpu import config as config_lib
 
-REFERENCE_DATA = "/root/reference/data/bunny_smoke"
+from tests.conftest import REFERENCE_DATA
 
 
 @pytest.fixture(scope="module")

@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neddf_tpu.training.checkpoint import AsyncCheckpointer
+from tests.conftest import REFERENCE_DATA
 
 
 def _state():
@@ -47,7 +48,7 @@ def test_trainer_async_checkpoint_roundtrip(tmp_path, monkeypatch):
         overrides=[
             "trainer=test",
             "dataset=test",
-            "dataset.dataset_dir=/root/reference/data/bunny_smoke",
+            f"dataset.dataset_dir={REFERENCE_DATA}",
             "trainer.async_checkpoint=true",
         ],
     )

@@ -1,0 +1,58 @@
+"""Hermetic end-to-end training on a generated scene (no bundled data).
+
+Generates an analytic lambertian-sphere dataset, trains a tiny NeDDF
+for a few steps, and checks the loss decreases — the full pipeline
+(dataset parse -> cameras -> renderer -> field -> losses -> Adam)
+without any dependency on the reference repository's assets."""
+import numpy as np
+import pytest
+
+from neddf_tpu import config as config_lib
+from neddf_tpu.data.synthetic import generate_sphere_dataset
+
+
+@pytest.fixture(scope="module")
+def sphere_dir(tmp_path_factory):
+    return generate_sphere_dataset(
+        tmp_path_factory.mktemp("sphere"), n_train=4, n_test=1, image_size=48
+    )
+
+
+def test_dataset_parses(sphere_dir):
+    from neddf_tpu.data import NeRFSyntheticDataset
+
+    ds = NeRFSyntheticDataset(
+        dataset_dir=str(sphere_dir), data_split="train", use_depth=False,
+        use_mask=True,
+    )
+    assert len(ds) == 4
+    assert ds.rgb_images.shape == (4, 48, 48, 3)
+    # the sphere covers part of the frame: mask has both classes
+    assert 0 < (ds.mask_images > 0).mean() < 1
+
+
+def test_end_to_end_training_improves(sphere_dir):
+    cfg = config_lib.compose(
+        "config",
+        overrides=[
+            "trainer=test",
+            "dataset=test",
+            f"dataset.dataset_dir={sphere_dir}",
+            "trainer.batch_size=64",
+        ],
+    )
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    first = [trainer.run_train_step(i % 4) for i in range(3)]
+    later = [trainer.run_train_step(i % 4) for i in range(12)]
+    assert np.isfinite(later[-1])
+    assert np.mean(later[-3:]) < np.mean(first)
+
+
+def test_test_split_renders(sphere_dir, tmp_path):
+    from neddf_tpu.data import NeRFSyntheticDataset
+
+    ds = NeRFSyntheticDataset(
+        dataset_dir=str(sphere_dir), data_split="test", use_depth=False,
+        use_mask=True,
+    )
+    assert len(ds) == 1

@@ -9,7 +9,7 @@ import pytest
 
 from neddf_tpu import config as config_lib
 
-DATA_DIR = "/root/reference/data/bunny_smoke/"
+from tests.conftest import REFERENCE_DATA as DATA_DIR
 
 
 def tiny_config():
