@@ -350,16 +350,19 @@ class NeRFTrainer(BaseTrainer):
             jnp.int32(self.iteration),
         )
         self.iteration += 1
+        # flush BEFORE closing this step's timing window so the device
+        # sync is inside a measured step — otherwise rays/sec reports the
+        # async dispatch rate instead of sustained throughput
+        if len(self._pending_logs) >= self.log_interval:
+            self._last_loss = self._flush_logs()  # one sync for the batch
         rays_per_sec = self.profiler.step_end()
-        self.logger.write_batchend()  # before flush: duration = end - start
+        self.logger.write_batchend()
         self.logger.rays_per_sec = rays_per_sec
         self._pending_logs.append(
             (loss, loss_dict, mse, self.logger.batchend - self.logger.batchstart)
         )
-        if len(self._pending_logs) >= self.log_interval:
-            self._last_loss = self._flush_logs()  # one sync for the batch
         # between flushes, return the last materialised loss (stale by up
-        # to log_interval-1 steps but always a real number)
+        # to log_interval steps but always a real number once flushed)
         return self._last_loss
 
     def _flush_logs(self) -> float:
