@@ -102,6 +102,7 @@ class BaseTrainer:
         # arrive in batches (the reference syncs every step)
         self.log_interval = max(1, int(log_interval))
         self._pending_logs: List[Any] = []
+        self._pending_durations: List[float] = []
         self._last_loss = float("nan")
         # pose refinement: the reference exposes each Camera's 6-DoF delta
         # as an nn.Parameter (camera.py:40) but its default optimizer only
@@ -350,19 +351,24 @@ class NeRFTrainer(BaseTrainer):
             jnp.int32(self.iteration),
         )
         self.iteration += 1
-        # flush BEFORE closing this step's timing window so the device
-        # sync is inside a measured step — otherwise rays/sec reports the
-        # async dispatch rate instead of sustained throughput
-        if len(self._pending_logs) >= self.log_interval:
-            self._last_loss = self._flush_logs()  # one sync for the batch
+        self._pending_logs.append((loss, loss_dict, mse))
+        do_flush = len(self._pending_logs) >= self.log_interval
+        if do_flush:
+            # device sync BEFORE closing this step's timing window so
+            # rays/sec measures sustained throughput, not dispatch rate
+            fetched = jax.device_get(self._pending_logs)
         rays_per_sec = self.profiler.step_end()
         self.logger.write_batchend()
         self.logger.rays_per_sec = rays_per_sec
-        self._pending_logs.append(
-            (loss, loss_dict, mse, self.logger.batchend - self.logger.batchstart)
+        self._pending_durations.append(
+            self.logger.batchend - self.logger.batchstart
         )
+        if do_flush:
+            self._last_loss = self._emit_records(fetched, self._pending_durations)
+            self._pending_logs, self._pending_durations = [], []
         # between flushes, return the last materialised loss (stale by up
-        # to log_interval steps but always a real number once flushed)
+        # to log_interval-1 steps; log_interval=1 syncs every step like
+        # the reference)
         return self._last_loss
 
     def _flush_logs(self) -> float:
@@ -370,9 +376,13 @@ class NeRFTrainer(BaseTrainer):
         if not self._pending_logs:
             return self._last_loss
         fetched = jax.device_get(self._pending_logs)
-        self._pending_logs = []
+        self._last_loss = self._emit_records(fetched, self._pending_durations)
+        self._pending_logs, self._pending_durations = [], []
+        return self._last_loss
+
+    def _emit_records(self, fetched, durations) -> float:
         loss_f = self._last_loss
-        for loss, loss_dict, mse, duration in fetched:
+        for (loss, loss_dict, mse), duration in zip(fetched, durations):
             loss_f = float(loss)
             mse_f = float(mse)
             psnr = 10 * math.log10(1.0 / max(mse_f, 1e-12))
@@ -384,7 +394,6 @@ class NeRFTrainer(BaseTrainer):
                 duration=duration,
             )
             self.logger.next()
-        self._last_loss = loss_f
         return loss_f
 
     # ----------------------------------------------------------- train loop
