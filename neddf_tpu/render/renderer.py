@@ -288,6 +288,10 @@ class NeRFRender:
             )
         )
 
+    @lru_cache(maxsize=1)
+    def _field_apply_jit(self):
+        return jax.jit(lambda p, s, sched: self.network_fine.apply(p, s, sched))
+
     @lru_cache(maxsize=4)
     def _render_rays_jit(self, chunk: int):
         del chunk  # cache key only; shapes drive the actual specialisation
@@ -387,9 +391,9 @@ class NeRFRender:
             diag_variance=jnp.zeros((res, res, 3), jnp.float32),
         )
         sched = self.network_fine.schedule(-1)
-        values = jax.jit(self.network_fine.apply)(
-            params["network_fine"], sampling, sched
-        )
+        # cached jit: a fresh jax.jit(bound_method) per call would
+        # recompile the slice program at every epoch hook
+        values = self._field_apply_jit()(params["network_fine"], sampling, sched)
         scales = {"distance": 256.0, "density": 12.8, "color": 256.0, "aux_grad": 256.0}
         fields: Dict[str, np.ndarray] = {}
         for name, value in values.items():
