@@ -126,3 +126,25 @@ def test_accel_runs_with_tight_budget(tiny_renderer, key, calib_params):
     )
     assert out["color"].shape == (4, 3)
     assert bool(jnp.all(jnp.isfinite(out["color"])))
+
+
+def test_update_grid_ema_max(tiny_renderer, key):
+    """update_grid probes the field on a jittered lattice and EMA-maxes;
+    a fresh (all-inf) grid becomes finite after the first update and its
+    occupancy tracks the field's density support."""
+    import jax
+    from neddf_tpu.ops.occupancy import make_grid, update_grid
+
+    r = tiny_renderer
+    params = r.init(key)
+    grid = make_grid(8, 1.1, threshold=1e-6)
+    sched = r.network_fine.schedule(-1)
+    g1 = update_grid(grid, r.network_fine, params["network_fine"], sched,
+                     jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(g1.values)))
+    occ1 = float((g1.values > g1.threshold).mean())
+    assert 0.0 <= occ1 <= 1.0
+    # decay shrinks values where the field stays below the old max
+    g2 = update_grid(g1, r.network_fine, params["network_fine"], sched,
+                     jax.random.PRNGKey(2), decay=0.5)
+    assert bool(jnp.all(g2.values <= jnp.maximum(g1.values, g2.values) + 1e-6))
