@@ -203,10 +203,14 @@ def make_sharded_train_step(
 
     # ---- GSPMD: TP width sharding + derived collectives ----------------
     # the SPMD partitioner cannot split Pallas custom calls, so force the
-    # cleanly-partitionable jnp dual path for width-sharded fields
+    # cleanly-partitionable jnp dual path for width-sharded fields — on a
+    # shallow COPY so the caller's renderer keeps its fused kernels for
+    # other uses (single-device render, DP steps)
+    import copy
     import dataclasses
 
     shared = renderer.network_coarse is renderer.network_fine
+    renderer = copy.copy(renderer)
     if getattr(renderer.network_fine, "fused", "off") != "off":
         renderer.network_fine = dataclasses.replace(
             renderer.network_fine, fused="off"

@@ -19,7 +19,6 @@ fine dists sampled under stop_gradient (:161-166).
 from __future__ import annotations
 
 import math
-from functools import lru_cache
 from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -71,6 +70,9 @@ class NeRFRender:
         self.dist_far = dist_far
         self.max_dist = max_dist
         self.sampling_type = sampling_type
+        # per-instance cache of jitted programs (a functools.lru_cache on
+        # methods would pin instances in a class-level cache forever)
+        self._jit_cache: Dict[Any, Any] = {}
 
     # ---------------------------------------------------------------- init
     def init(self, key: Array):
@@ -278,27 +280,42 @@ class NeRFRender:
         return integrate
 
     # --------------------------------------------------------- render_image
-    @lru_cache(maxsize=4)
+    def _cached_jit(self, cache_key, make):
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = self._jit_cache[cache_key] = make()
+        return fn
+
     def _render_accel_jit(self, budget_coarse: int, budget_fine: int):
         """Cached jit of the occupancy-culled path; the grid is an
         argument (its values change between updates), budgets are static."""
-        return jax.jit(
-            lambda params, calib, r, t, uv, key, grid: self.render_rays_accel(
-                params, calib, r, t, uv, key, grid, budget_coarse, budget_fine
-            )
+        return self._cached_jit(
+            ("accel", budget_coarse, budget_fine),
+            lambda: jax.jit(
+                lambda params, calib, r, t, uv, key, grid: self.render_rays_accel(
+                    params, calib, r, t, uv, key, grid,
+                    budget_coarse, budget_fine,
+                )
+            ),
         )
 
-    @lru_cache(maxsize=1)
     def _field_apply_jit(self):
-        return jax.jit(lambda p, s, sched: self.network_fine.apply(p, s, sched))
+        return self._cached_jit(
+            ("field_apply",),
+            lambda: jax.jit(
+                lambda p, s, sched: self.network_fine.apply(p, s, sched)
+            ),
+        )
 
-    @lru_cache(maxsize=4)
     def _render_rays_jit(self, chunk: int):
         del chunk  # cache key only; shapes drive the actual specialisation
-        return jax.jit(
-            lambda params, calib, r, t, uv, key: self.render_rays(
-                params, calib, r, t, uv, key, -1
-            )
+        return self._cached_jit(
+            ("rays",),
+            lambda: jax.jit(
+                lambda params, calib, r, t, uv, key: self.render_rays(
+                    params, calib, r, t, uv, key, -1
+                )
+            ),
         )
 
     def render_image(

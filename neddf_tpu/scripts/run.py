@@ -28,15 +28,21 @@ def _resume(run_dir: Path) -> None:
     cfg = config_lib.load_snapshot(run_dir)
     os.chdir(run_dir)
     trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
-    ckpts = sorted((run_dir / "models").glob("model_*.ckpt"))
+    models = run_dir / "models"
+    ckpts = sorted(models.glob("model_*.ckpt"))
+    has_orbax_steps = models.is_dir() and any(
+        p.name.isdigit() for p in models.iterdir()
+    )
     if ckpts:
         latest = ckpts[-1]
-    elif (run_dir / "models").is_dir():
+    elif has_orbax_steps:
         # async/orbax layout: step directories instead of .ckpt files;
         # load_checkpoint resolves the latest step itself
-        latest = run_dir / "models" / "model_latest.ckpt"
+        latest = models / "model_latest.ckpt"
     else:
-        raise FileNotFoundError(f"no checkpoints under {run_dir}/models")
+        raise FileNotFoundError(
+            f"no model_*.ckpt files or orbax step dirs under {models}"
+        )
     trainer.load_checkpoint(latest)
     print(f"resumed from {latest} at iteration {trainer.iteration}")
     trainer.run_train()

@@ -357,9 +357,8 @@ class NeRFTrainer(BaseTrainer):
             # device sync BEFORE closing this step's timing window so
             # rays/sec measures sustained throughput, not dispatch rate
             fetched = jax.device_get(self._pending_logs)
-        rays_per_sec = self.profiler.step_end()
+        self.profiler.step_end()
         self.logger.write_batchend()
-        self.logger.rays_per_sec = rays_per_sec
         self._pending_durations.append(
             self.logger.batchend - self.logger.batchstart
         )
@@ -381,6 +380,12 @@ class NeRFTrainer(BaseTrainer):
         return self._last_loss
 
     def _emit_records(self, fetched, durations) -> float:
+        # under async dispatch, per-step wall times are dispatch latencies
+        # except the sync-bearing step; the batch TOTAL is accurate, so
+        # log the uniform amortized duration per step
+        if durations:
+            mean_dur = sum(durations) / len(durations)
+            durations = [mean_dur] * len(durations)
         loss_f = self._last_loss
         for (loss, loss_dict, mse), duration in zip(fetched, durations):
             loss_f = float(loss)
@@ -441,8 +446,12 @@ class NeRFTrainer(BaseTrainer):
 
             if self._async_ckpt is None:
                 self._async_ckpt = AsyncCheckpointer(path.parent)
-            # step index from the reference-style file name model_{N}.ckpt
-            step = int(path.stem.split("_")[-1])
+            # step index from the reference-style file name model_{N}.ckpt;
+            # arbitrary names fall back to the current iteration
+            try:
+                step = int(path.stem.split("_")[-1])
+            except ValueError:
+                step = self.iteration
             self._async_ckpt.save(step, self._state_dict())
             return
         save_pytree(path, self._state_dict())
@@ -463,13 +472,17 @@ class NeRFTrainer(BaseTrainer):
             "key": jax.device_get(self.key),
         }
         if not path.exists() and path.parent.is_dir():
-            # orbax (async) layout: models/<step>/ directories
-            from neddf_tpu.training.checkpoint import AsyncCheckpointer
+            # orbax (async) layout: models/<step>/ directories; probe the
+            # filesystem first so a typo'd path doesn't construct managers
+            steps = sorted(
+                int(p.name) for p in path.parent.iterdir() if p.name.isdigit()
+            )
+            if steps:
+                from neddf_tpu.training.checkpoint import AsyncCheckpointer
 
-            mgr = AsyncCheckpointer(path.parent)
-            step = mgr.latest_step()
-            if step is not None:
-                state = mgr.restore(step, template)
+                mgr = AsyncCheckpointer(path.parent)
+                state = mgr.restore(steps[-1], template)
+                mgr.wait()
                 self._apply_checkpoint_state(state)
                 return
         try:

@@ -27,6 +27,8 @@ REFERENCE_DATA = "/root/reference/data/bunny_smoke"
 if not os.path.isdir(REFERENCE_DATA):
     # hermetic fallback: generate an analytic scene so the suite runs
     # without the reference repository mounted
+    import atexit
+    import shutil
     import tempfile
 
     from neddf_tpu.data.synthetic import generate_sphere_dataset
@@ -37,6 +39,7 @@ if not os.path.isdir(REFERENCE_DATA):
             image_size=64,
         )
     )
+    atexit.register(shutil.rmtree, REFERENCE_DATA, True)
 
 
 @pytest.fixture()

@@ -144,7 +144,15 @@ def test_update_grid_ema_max(tiny_renderer, key):
     assert bool(jnp.all(jnp.isfinite(g1.values)))
     occ1 = float((g1.values > g1.threshold).mean())
     assert 0.0 <= occ1 <= 1.0
-    # decay shrinks values where the field stays below the old max
+    # exact EMA-max law: same key probes the same jittered lattice, so
+    # g2 == max(decay * g1, fresh_probe) where fresh_probe is the raw
+    # density probe obtained by updating a fresh grid with that key
+    key2 = jax.random.PRNGKey(2)
     g2 = update_grid(g1, r.network_fine, params["network_fine"], sched,
-                     jax.random.PRNGKey(2), decay=0.5)
-    assert bool(jnp.all(g2.values <= jnp.maximum(g1.values, g2.values) + 1e-6))
+                     key2, decay=0.5)
+    fresh = update_grid(make_grid(8, 1.1, 1e-6), r.network_fine,
+                        params["network_fine"], sched, key2)
+    expected = jnp.maximum(0.5 * g1.values, fresh.values)
+    np.testing.assert_allclose(
+        np.asarray(g2.values), np.asarray(expected), rtol=1e-6, atol=1e-7
+    )

@@ -31,9 +31,11 @@ def test_dataset_parses(sphere_dir):
     assert 0 < (ds.mask_images > 0).mean() < 1
 
 
-def test_end_to_end_training_improves(sphere_dir):
+def test_end_to_end_training_improves(sphere_dir, tmp_path, monkeypatch):
+    config_dir = __import__("pathlib").Path(__file__).resolve().parents[2] / "config"
+    monkeypatch.chdir(tmp_path)  # logger writes ./log
     cfg = config_lib.compose(
-        "config",
+        config_dir,
         overrides=[
             "trainer=test",
             "dataset=test",
