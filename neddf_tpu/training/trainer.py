@@ -83,6 +83,7 @@ class BaseTrainer:
         optimize_camera: bool = False,
         camera_optimizer_lr: float = 1e-4,
         async_checkpoint: bool = False,
+        grad_accum: int = 1,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
@@ -114,6 +115,21 @@ class BaseTrainer:
         # immediately; run_train waits for pending writes at the end
         self.async_checkpoint = async_checkpoint
         self._async_ckpt = None
+        # gradient accumulation: split each step's ray batch into
+        # ``grad_accum`` sequential microbatches inside one jitted step
+        # (lax.scan) and average the gradients. Numerically equivalent to
+        # the monolithic step — losses are per-ray means over equal-size
+        # microbatches, and the per-PIXEL RNG derivation (ops/sampling.py)
+        # makes the sample draws independent of the batch split. Use it to
+        # (a) bound activation memory at large ray batches and (b) keep
+        # every compiled grad program at a scale XLA handles correctly
+        # (B=4096 monolithic grad programs miscompile on current v5e
+        # toolchains — kernels/dual_mlp.py docstring).
+        if grad_accum < 1 or batch_size % grad_accum:
+            raise ValueError(
+                f"grad_accum={grad_accum} must divide batch_size={batch_size}"
+            )
+        self.grad_accum = int(grad_accum)
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
@@ -298,24 +314,53 @@ class NeRFTrainer(BaseTrainer):
 
         targets = self.construct_ground_truth(rgb_cam, mask_cam, us, vs)
 
-        def loss_fn(p, deltas):
+        def loss_fn(p, deltas, uv_mb, targets_mb):
             pose_r, pose_t = camera_pose(
                 camera_initials[camera_id], deltas[camera_id]
             )
             render_result = self.neural_render.render_rays(
-                p, self.calib, pose_r, pose_t, uv, k_render, iteration
+                p, self.calib, pose_r, pose_t, uv_mb, k_render, iteration
             )
             loss_dict: Dict[str, Array] = {}
             for loss_function in self.loss_functions:
-                loss_dict.update(loss_function(render_result, targets))
+                loss_dict.update(loss_function(render_result, targets_mb))
             total = sum(loss_dict.values())
-            mse = jnp.mean(jnp.square(render_result["color"] - targets["color"]))
+            mse = jnp.mean(jnp.square(render_result["color"] - targets_mb["color"]))
             return total, (loss_dict, mse)
 
         argnums = (0, 1) if self.optimize_camera else 0
-        (loss, (loss_dict, mse)), grads = jax.value_and_grad(
-            loss_fn, argnums=argnums, has_aux=True
-        )(params, camera_deltas)
+        value_and_grad = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
+        if self.grad_accum > 1:
+            # sequential microbatches under lax.scan; stacking the tiny
+            # (2.5 MB) grad pytrees and averaging afterwards is cheaper
+            # than a carried tree-add. Per-pixel RNG makes each micro
+            # draw identical to its slice of the monolithic batch.
+            n_micro = self.grad_accum
+            micro = self.batch_size // n_micro
+            uv_s = uv.reshape(n_micro, micro, 2)
+            targets_s = jax.tree_util.tree_map(
+                lambda t: t.reshape((n_micro, micro) + t.shape[1:]), targets
+            )
+
+            def body(_, xs):
+                uv_i, targets_i = xs
+                (l, (ld, m)), g = value_and_grad(
+                    params, camera_deltas, uv_i, targets_i
+                )
+                return None, (l, ld, m, g)
+
+            _, (losses, loss_dicts, mses, grads_s) = jax.lax.scan(
+                body, None, (uv_s, targets_s)
+            )
+            mean0 = lambda t: jnp.mean(t, axis=0)
+            loss = mean0(losses)
+            loss_dict = jax.tree_util.tree_map(mean0, loss_dicts)
+            mse = mean0(mses)
+            grads = jax.tree_util.tree_map(mean0, grads_s)
+        else:
+            (loss, (loss_dict, mse)), grads = value_and_grad(
+                params, camera_deltas, uv, targets
+            )
         if self.optimize_camera:
             grads, grads_cam = grads
             cam_updates, opt_state_cam = self.tx_cam.update(

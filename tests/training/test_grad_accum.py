@@ -1,0 +1,52 @@
+"""grad_accum microbatched steps must match the monolithic step.
+
+The microbatch split relies on (a) per-PIXEL RNG so sample draws are
+independent of the batch layout (neddf_tpu/ops/sampling.py) and (b)
+per-ray-mean losses over equal-size microbatches averaging to the full
+batch mean. This pins both: one step with grad_accum=4 lands on the same
+parameters as grad_accum=1 up to f32 summation-order noise.
+"""
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from neddf_tpu import config as config_lib
+
+from tests.conftest import REFERENCE_DATA as DATA_DIR
+from tests.training.test_trainer import tiny_config
+
+
+def _make_trainer(grad_accum: int):
+    cfg = tiny_config()
+    cfg["trainer"]["grad_accum"] = grad_accum
+    return config_lib.instantiate(cfg["trainer"], global_config=cfg)
+
+
+def test_grad_accum_matches_monolithic_step():
+    t1 = _make_trainer(1)
+    t4 = _make_trainer(4)
+    # same seed -> identical init params and key streams
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t4.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    loss1 = t1.run_train_step(0)
+    loss4 = t4.run_train_step(0)
+    t1._flush_logs()
+    t4._flush_logs()
+    assert np.isfinite(loss1) and np.isfinite(loss4)
+    assert abs(loss1 - loss4) < 1e-4 * max(1.0, abs(loss1))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t4.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_grad_accum_validation():
+    cfg = tiny_config()
+    cfg["trainer"]["grad_accum"] = 5  # does not divide batch_size=16
+    with pytest.raises(ValueError):
+        config_lib.instantiate(cfg["trainer"], global_config=cfg)
