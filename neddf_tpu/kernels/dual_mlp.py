@@ -386,13 +386,17 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
                     d_in = _mm(g_stack, rows.T)  # [4T, w_i]
                     if i == 0:
                         d_in = d_in + g_skip
-                    dv_refs[i][:] = d_in[:tile]
+                    # input cotangents leave in the primal dtype (bf16 in
+                    # production) — halves the dominant HBM write traffic
+                    dv_refs[i][:] = d_in[:tile].astype(dv_refs[i].dtype)
                     jidx = sum(1 for k in range(i) if has_j[k])
                     for a in range(3):
-                        dj_refs[jidx][a] = d_in[(1 + a) * tile : (2 + a) * tile]
+                        dj_refs[jidx][a] = d_in[
+                            (1 + a) * tile : (2 + a) * tile
+                        ].astype(dj_refs[jidx].dtype)
                     dw_blocks.append(_mm(seg[i].T, g_stack))
                 else:
-                    dv_refs[i][:] = _mm(gpre_v, rows.T)
+                    dv_refs[i][:] = _mm(gpre_v, rows.T).astype(dv_refs[i].dtype)
                     dw_blocks.append(_mm(v_refs[i][:].T, gpre_v))
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
@@ -443,13 +447,18 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for w in widths
     ]
-    out_shape = [jax.ShapeDtypeStruct((m, w), jnp.float32) for w in widths]
+    # dx cotangents in the primal dtype (bf16 halves HBM traffic); dW/db
+    # stay f32 — they are accumulated across the whole grid
+    out_shape = [
+        jax.ShapeDtypeStruct((m, w), v.dtype) for w, v in zip(widths, vs)
+    ]
+    j_iter = iter(js)
     for w, hj in zip(widths, has_j):
         if hj:
             out_specs.append(
                 pl.BlockSpec((3, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
             )
-            out_shape.append(jax.ShapeDtypeStruct((3, m, w), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((3, m, w), next(j_iter).dtype))
     for w in weights:
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_specs.append(
@@ -528,13 +537,12 @@ def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interp
 def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
     vs, js, weights, biases = res
     gv, gj = g
+    # gv/gj enter in the kernel OUTPUT dtype (bf16 in production) and dx
+    # cotangents leave in the primal input dtypes — no f32 staging arrays
+    # on either side of the kernel; only dW/db (tiny) are f32.
     dvs, djs, dws, dbs = _run_backward(
-        vs, js, weights, biases, layout, act_name, has_j,
-        gv.astype(jnp.float32), gj.astype(jnp.float32), interpret,
+        vs, js, weights, biases, layout, act_name, has_j, gv, gj, interpret,
     )
-    # cotangents must match primal dtypes (inputs may be bf16)
-    dvs = tuple(d.astype(v.dtype) for d, v in zip(dvs, vs))
-    djs = tuple(d.astype(j.dtype) for d, j in zip(djs, js))
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
     return dvs, djs, dws, dbs

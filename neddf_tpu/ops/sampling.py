@@ -61,13 +61,32 @@ def stratified_dists(
     return base[None, :] + jitter * ((dist_far - dist_near) / sample_count)
 
 
-def _searchsorted_right(cdf: Array, u: Array) -> Array:
-    """Batched searchsorted(side='right') via broadcast compare.
+def _inverse_cdf(dists: Array, cdf: Array, u: Array) -> Array:
+    """Piecewise-linear inverse CDF, gather-free.
 
-    cdf: [B, N] ascending, u: [B, K] -> ids in [0, N].
-    TPU-friendly: one [B, K, N] compare + sum instead of a scan.
+    The textbook formulation (searchsorted -> take_along_axis x4 ->
+    lerp) costs ~0.7 ms PER GATHER on TPU (XLA lowers small gathers to
+    element-serial loops). The identity
+
+        icdf(u) = d_0 + sum_j (d_{j+1} - d_j) * clip((u - c_j) / (c_{j+1} - c_j), 0, 1)
+
+    computes the same value as one broadcast [B, K, S-1] elementwise op
+    + reduce on the VPU — no gathers, no sort, exact same result in
+    real arithmetic (zero-width CDF intervals contribute their full
+    d-increment once u passes them, which is precisely the
+    searchsorted(side='right') behaviour).
+
+    Args:
+        dists: [B, S] ascending distances.
+        cdf: [B, S] ascending CDF with cdf[:, 0] == 0, cdf[:, -1] == 1.
+        u: [B, K] query quantiles in [0, 1).
+    Returns:
+        [B, K] samples; monotone in u per row.
     """
-    return jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
+    du = dists[:, 1:] - dists[:, :-1]  # [B, S-1]
+    dc = jnp.maximum(cdf[:, 1:] - cdf[:, :-1], 1e-12)
+    t = (u[:, :, None] - cdf[:, None, :-1]) / dc[:, None, :]
+    return dists[:, :1] + jnp.sum(du[:, None, :] * jnp.clip(t, 0.0, 1.0), axis=-1)
 
 
 def sample_pdf(
@@ -111,19 +130,7 @@ def sample_pdf(
     else:
         u = _per_ray_uniform(key, pixel_ids, samples_fine, dtype=dists.dtype)
 
-    ids = _searchsorted_right(cdf, u)
-    below = jnp.maximum(ids - 1, 0)
-    above = jnp.minimum(ids, cdf.shape[-1] - 1)
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    d_b = jnp.take_along_axis(dists, below, axis=-1)
-    d_a = jnp.take_along_axis(dists, above, axis=-1)
-
-    denom = cdf_a - cdf_b
-    denom = jnp.where(denom < 1e-5, 1.0, denom)
-    t = (u - cdf_b) / denom
-    samples = d_b + t * (d_a - d_b)
+    samples = _inverse_cdf(dists, cdf, u)
 
     if cat_coarse:
         samples = jnp.concatenate([samples, dists], axis=-1)

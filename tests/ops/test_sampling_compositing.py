@@ -44,6 +44,36 @@ def test_sample_pdf_concentrates_on_peak(key):
     assert frac > 0.5
 
 
+def test_inverse_cdf_matches_gather_formulation(rng):
+    """The gather-free clipped-ramp inverse CDF == searchsorted+lerp."""
+    from neddf_tpu.ops.sampling import _inverse_cdf
+
+    b, s, k = 8, 17, 33
+    dists = jnp.asarray(np.sort(rng.uniform(2, 6, (b, s)).astype(np.float32), axis=1))
+    w = jnp.asarray(rng.uniform(0, 1, (b, s - 1)).astype(np.float32)) + 1e-2
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros((b, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1)
+    u = jnp.asarray(rng.uniform(0, 1, (b, k)).astype(np.float32))
+
+    got = np.asarray(_inverse_cdf(dists, cdf, u))
+
+    ids = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
+    below = jnp.maximum(ids - 1, 0)
+    above = jnp.minimum(ids, s - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    d_b = jnp.take_along_axis(dists, below, axis=-1)
+    d_a = jnp.take_along_axis(dists, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    want = np.asarray(d_b + (u - cdf_b) / denom * (d_a - d_b))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # monotone in u per row
+    order = np.argsort(np.asarray(u), axis=1)
+    srt = np.take_along_axis(got, order, axis=1)
+    assert (np.diff(srt, axis=1) >= -1e-5).all()
+
+
 def test_integrate_volume_render_semantics():
     b, s = 3, 8
     dists = jnp.broadcast_to(jnp.linspace(2.0, 6.0, s)[None], (b, s))
