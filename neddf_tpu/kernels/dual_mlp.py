@@ -57,8 +57,15 @@ Array = jax.Array
 
 TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep)
 # backward recomputes + stashes per-layer tensors in VMEM, so it uses a
-# smaller tile to stay under the ~16MB scoped-VMEM budget
+# smaller tile to stay under the ~16MB scoped-VMEM budget. In bf16
+# production mode the stash is bf16 (half the VMEM), which affords a
+# 2x tile; f32 exactness mode keeps the f32 stash and the small tile.
 TILE_M_BWD = 128
+TILE_M_BWD_BF16 = 256
+
+
+def _bwd_tile() -> int:
+    return TILE_M_BWD_BF16 if _MM_DTYPE[0] == jnp.bfloat16 else TILE_M_BWD
 
 
 # ----------------------------------------------------------------- acts
@@ -324,6 +331,10 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
             seg.append(None)
 
     # ---- recompute forward, stashing pre_stack [4T, C] per layer ------
+    # the stash lives in the matmul dtype: bf16 in production halves the
+    # VMEM footprint (allowing the 2x backward tile); f32 exactness mode
+    # stashes f32 and reproduces the original numerics bit-for-bit
+    stash_dt = _MM_DTYPE[0]
     h = None
     pres = []
     for li, split in enumerate(layout):
@@ -346,7 +357,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
         else:
             pre = _mm(h, w)
         pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
-        pres.append(pre)
+        pres.append(pre.astype(stash_dt))
         h = _dual_act(pre, tile, f, df)
 
     # ---- reverse pass --------------------------------------------------
@@ -358,7 +369,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
     for li in reversed(range(n_layers)):
         split = layout[li]
         w = w_refs[li][:]
-        pre = pres[li]
+        pre = pres[li].astype(jnp.float32)
         pre_v = pre[:tile]
         d1 = df(pre_v)
         d2 = ddf(pre_v)
@@ -374,9 +385,10 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
         )  # [4T, C]
         db = jnp.sum(gpre_v, axis=0)
 
-        # input of this layer, stacked (recomputed)
+        # input of this layer, stacked (recomputed; activation in f32,
+        # the consuming matmul casts back down)
         if li > 0:
-            h_in = _dual_act(pres[li - 1], tile, f, df)
+            h_in = _dual_act(pres[li - 1].astype(jnp.float32), tile, f, df)
 
         if li == 0:
             dw_blocks = []
@@ -428,7 +440,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
                   interpret=False):
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
-    tile = TILE_M_BWD
+    tile = _bwd_tile()
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]
