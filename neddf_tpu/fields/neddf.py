@@ -34,6 +34,7 @@ from neddf_tpu.ops.dual import (
     dual_value,
     linear_dual,
     pe_dual,
+    pe_dual_planes,
 )
 from neddf_tpu.ops.pe import pe_grad_scale, pe_lowpass_scale, pe_weights, positional_encoding
 
@@ -223,8 +224,6 @@ class NeDDF(BaseField):
         grad_scale = pe_grad_scale(self.embed_pos_rank)
         lowpass = pe_lowpass_scale(self.embed_pos_rank, sched.lowpass_alpha)
         weights = pe_weights(var, self.embed_pos_rank)
-        embed_scaled = pe_dual(pos, self.embed_pos_rank, grad_scale * lowpass * weights)
-        embed_plain = pe_dual(pos, self.embed_pos_rank, lowpass * weights)
         embed_dir = positional_encoding(direction, self.embed_dir_rank)
 
         # --- DDF trunk on dual tensors -----------------------------------
@@ -232,9 +231,12 @@ class NeDDF(BaseField):
         cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
         fused = self._use_fused()
         if fused:
-            from neddf_tpu.kernels.dual_mlp import dual_pack_to_planes
-
-            emb_v, emb_j = dual_pack_to_planes(embed_scaled)
+            # PE duals built directly in the kernels' plane layout — the
+            # [M, 4, C] pack + moveaxis route costs ~1 ms/step at the
+            # flagship shapes purely in layout shuffles
+            emb_v, emb_j = pe_dual_planes(
+                pos, self.embed_pos_rank, grad_scale * lowpass * weights
+            )
             v_feat, j_feat = self._trunk_fused_planes(
                 params, cast(emb_v), cast(emb_j)
             )
@@ -248,6 +250,9 @@ class NeDDF(BaseField):
             ddf_out, ddf_jac = head_planes("layer_ddf_out")
             aux_out, aux_jac = head_planes("layer_aux_out")
         else:
+            embed_scaled = pe_dual(
+                pos, self.embed_pos_rank, grad_scale * lowpass * weights
+            )
             h = cast(embed_scaled)
             for layer_id, layer in enumerate(params["layers_ddf"]):
                 h = act_dual(
@@ -292,9 +297,9 @@ class NeDDF(BaseField):
         # --- color branch (dual, to get colorJ for the penalty) ----------
         m = pos.shape[0]
         if fused:
-            from neddf_tpu.kernels.dual_mlp import dual_pack_to_planes
-
-            ep_v, ep_j = dual_pack_to_planes(embed_plain)
+            ep_v, ep_j = pe_dual_planes(
+                pos, self.embed_pos_rank, lowpass * weights
+            )
             vs = (cast(ep_v), cast(embed_dir), cast(sg(norm_dir)), v_feat)
             js = (cast(ep_j), j_feat)
             hc_v, hc_j = self._color_fused_planes(params, vs, js)
@@ -305,6 +310,7 @@ class NeDDF(BaseField):
                 jnp.float32
             )  # [M, 3, 3]
         else:
+            embed_plain = pe_dual(pos, self.embed_pos_rank, lowpass * weights)
             col_y = jnp.concatenate(
                 [
                     dual_value(embed_plain),

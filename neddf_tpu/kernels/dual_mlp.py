@@ -31,6 +31,13 @@ convenience wrapper ``dual_mlp``, both with jax.custom_vjp so
 reverse-over-forward (loss gradients THROUGH the Jacobian-derived
 density) works exactly like the jnp path in neddf_tpu.ops.dual.
 
+NEGATIVE RESULT (measured, do not retry): fusing the k<=3-wide output
+heads (distance/aux/color out layers) INTO these kernels loses ~25%
+end-to-end — as MXU matmuls the N=k passes idle 125+ of 128 output
+lanes per tile; as VPU multiply+lane-reduces they serialize against
+the MXU. XLA's glue handles the [M,256]x[256,k] heads in one fused
+pass over the feature planes, which is faster than anything per-tile.
+
 KNOWN LIMIT: verified correct (vs the jnp path, forward and gradients)
 up to M ≈ 4e5 rows per call on v5e; NeDDF chunks larger batches into
 <= 393216-row calls. Independently of kernel call size, the WHOLE

@@ -100,6 +100,35 @@ def pe_dual(x: Array, rank: int, scale: Optional[Array] = None) -> Array:
     return pack_dual(y, jac)
 
 
+def pe_dual_planes(
+    x: Array, rank: int, scale: Optional[Array] = None
+) -> Tuple[Array, Array]:
+    """Positional-encoding dual emitted directly in PLANE layout.
+
+    Same math as :func:`pe_dual` but returns ``(v [M, 6R], j [3, M, 6R])``
+    — the layout the fused kernels consume (kernels/dual_mlp.py) — built
+    with one masked broadcast instead of onehot-multiply + pack +
+    moveaxis. On TPU the pack/transpose route costs ~1 ms/step at the
+    flagship shapes purely in layout shuffles; this is measurably free.
+    """
+    m, input_dim = x.shape
+    freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
+    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    if scale is None:
+        scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
+    sin_p, cos_p = jnp.sin(p), jnp.cos(p)
+    v = jnp.concatenate([scale * sin_p, scale * cos_p], axis=-1)  # [M, 6R]
+
+    freq_rep = jnp.repeat(freq, input_dim)[None, :]  # [1, R*3]
+    g_full = jnp.concatenate(
+        [scale * freq_rep * cos_p, -scale * freq_rep * sin_p], axis=-1
+    )  # [M, 6R] — d(channel)/d(its own input axis)
+    mask = jnp.tile(jnp.eye(input_dim, dtype=x.dtype), (1, rank))  # [3, R*3]
+    mask = jnp.concatenate([mask, mask], axis=-1)  # [3, 6R]
+    j = mask[:, None, :] * g_full[None, :, :]  # [3, M, 6R]
+    return v, j
+
+
 def mlp_dual(
     d: Array,
     weights: Tuple[Array, ...],

@@ -43,6 +43,23 @@ def test_pe_dual_matches_finite_difference(rank, rng):
     np.testing.assert_allclose(dual_jacobian(d), num_j, rtol=1e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("rank", [4, 10])
+def test_pe_dual_planes_matches_pack(rank, rng):
+    """Plane-layout PE dual == the packed pe_dual, bit for bit."""
+    from neddf_tpu.ops.dual import pe_dual_planes
+
+    x = rng.standard_normal((8, 3)).astype(np.float32)
+    # per-sample scale, like lowpass * mip weights in NeDDF
+    scale = rng.uniform(0.5, 1.5, size=(8, rank * 3)).astype(np.float32)
+
+    d = pe_dual(jnp.asarray(x), rank, jnp.asarray(scale))
+    v, j = pe_dual_planes(jnp.asarray(x), rank, jnp.asarray(scale))
+    np.testing.assert_array_equal(np.asarray(dual_value(d)), np.asarray(v))
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(dual_jacobian(d)), 1, 0), np.asarray(j)
+    )
+
+
 def test_linear_dual_propagates_jacobian(rng):
     x = rng.standard_normal((6, 5)).astype(np.float32)
     j = rng.standard_normal((6, 3, 5)).astype(np.float32)
