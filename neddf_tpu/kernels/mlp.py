@@ -102,7 +102,9 @@ def _bwd_kernel(layout, act_name, widths, *refs):
                 d_in = _mm(gpre, rows.T)
                 if i == 0:
                     d_in = d_in + g_skip
-                dv_refs[i][:] = d_in
+                # input cotangents leave in the primal dtype (bf16 in
+                # production) — halves the HBM write traffic
+                dv_refs[i][:] = d_in.astype(dv_refs[i].dtype)
                 dw_blocks.append(_mm(seg[i].T, gpre))
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
@@ -171,7 +173,10 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
         pl.BlockSpec((tile, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
     out_specs = _specs(widths, tile)
-    out_shape = [jax.ShapeDtypeStruct((m, w), jnp.float32) for w in widths]
+    # dx cotangents in the primal dtypes; dW/db stay f32 (grid-accumulated)
+    out_shape = [
+        jax.ShapeDtypeStruct((m, w), v.dtype) for w, v in zip(widths, vs)
+    ]
     for w in weights:
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_specs.append(
@@ -222,10 +227,11 @@ def _mlp_fwd(vs, weights, biases, layout, act_name, out_dtype, interpret):
 
 def _mlp_bwd(layout, act_name, out_dtype, interpret, res, g):
     vs, weights, biases = res
+    # cotangent enters in the kernel OUTPUT dtype and dx cotangents leave
+    # in the primal input dtypes — no f32 staging around the kernel
     dvs, dws, dbs = _run_backward(
-        vs, weights, biases, layout, act_name, g.astype(jnp.float32), interpret
+        vs, weights, biases, layout, act_name, g, interpret
     )
-    dvs = tuple(d.astype(v.dtype) for d, v in zip(dvs, vs))
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
     return dvs, dws, dbs
