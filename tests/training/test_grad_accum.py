@@ -45,6 +45,21 @@ def test_grad_accum_matches_monolithic_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+def test_grad_accum_composes_with_camera_optimization():
+    """The scan body carries (params, camera_deltas) grad TUPLES."""
+    cfg = tiny_config()
+    cfg["trainer"].update({"grad_accum": 2, "optimize_camera": True})
+    tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    before = np.asarray(tr.camera_deltas).copy()
+    losses = [tr.run_train_step(0) for _ in range(2)]
+    tr._flush_logs()
+    assert all(np.isfinite(l) for l in losses)
+    after = np.asarray(tr.camera_deltas)
+    # pose deltas actually moved for the trained camera
+    assert np.abs(after[0]).sum() > 0.0
+    assert not np.allclose(before, after)
+
+
 def test_grad_accum_validation():
     cfg = tiny_config()
     cfg["trainer"]["grad_accum"] = 5  # does not divide batch_size=16
