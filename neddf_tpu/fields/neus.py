@@ -47,11 +47,23 @@ class NeuS(BaseField):
     activation_type: str = "ReLU"
     init_variance: float = 0.3
     skips: Tuple[int, ...] = (4,)
-    # fused Pallas kernel for the COLOR branch only ("auto" = TPU). The
-    # SDF trunk cannot fuse: its normals come from jax.grad THROUGH the
-    # trunk and the outer loss differentiates again (second order), which
-    # a custom_vjp kernel does not provide.
+    # fused Pallas kernel for the color branch ("auto" = TPU).
     fused: str = "auto"
+    # normals = d(sdf)/d(xyz):
+    #   "reverse" (default, and what "auto" resolves to) —
+    #     jax.value_and_grad through the trunk, the reference's
+    #     formulation (torch.autograd.grad, neus.py:133-142); the outer
+    #     loss differentiates again (reverse-over-reverse).
+    #   "dual" — forward-mode via the fused dual-Jacobian Pallas trunk
+    #     (kernels/dual_mlp.py). Verified exactly equivalent (values and
+    #     second-order grads, tests/fields/test_neus_dual_normals.py)
+    #     but MEASURED 2.2x SLOWER on v5e (48.9 vs 22.0 ms/step):
+    #     NeuS only needs ONE output channel's gradient, so one reverse
+    #     pass beats carrying 3 tangent streams for all 256 channels.
+    #     (NeDDF is the opposite case: it consumes the FULL feature
+    #     Jacobian, where forward-mode wins.) Kept as a documented,
+    #     tested alternative — mode choice is per-field, not global.
+    normals: str = "reverse"
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
@@ -62,6 +74,17 @@ class NeuS(BaseField):
         if self.fused == "off":
             return False
         return jax.default_backend() == "tpu"
+
+    def _use_dual_normals(self) -> bool:
+        if self.normals == "dual":
+            return True
+        if self.normals == "reverse":
+            return False
+        if self.normals != "auto":
+            raise ValueError(f"unknown normals mode {self.normals!r}")
+        # auto = reverse: measured faster for a 1-channel gradient (see
+        # the ``normals`` field comment)
+        return False
 
     @property
     def input_sdf_dim(self) -> int:
@@ -93,6 +116,57 @@ class NeuS(BaseField):
             "variance": jnp.float32(self.init_variance),
         }
 
+    # per-kernel-call row cap — same verified regime as NeDDF
+    # (fields/neddf.py::_KERNEL_ROW_CAP, kernels/dual_mlp.py docstring)
+    _KERNEL_ROW_CAP = 393216
+
+    def _trunk_dual(self, params, pos: Array):
+        """SDF trunk + exact spatial gradient via the fused dual kernel.
+
+        The NeuS skip concat is ``[hx, embed]`` (hidden FIRST,
+        neus.py:135-137) while the kernel's split layer consumes
+        ``[segment0, hidden]`` — the post-skip layer's weight ROWS are
+        swapped at call time to compensate (pure relabeling).
+        """
+        from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
+        from neddf_tpu.ops.dual import pe_dual_planes
+
+        emb_v, emb_j = pe_dual_planes(pos, self.embed_pos_rank)
+        w_hidden = self.sdf_layer_width
+        weights, biases = [], []
+        layout = []
+        for li, layer in enumerate(params["layers_sdf"]):
+            w = layer["w"]
+            split = (li - 1) in self.skips
+            if split:
+                w = jnp.concatenate([w[w_hidden:], w[:w_hidden]], axis=0)
+            weights.append(w)
+            biases.append(layer["b"])
+            layout.append(split)
+        interp = jax.default_backend() != "tpu"
+
+        v0, m = pad_rows(emb_v)
+        j0, _ = pad_rows(emb_j, axis=1)
+
+        def call(lo, hi):
+            return dual_mlp_seg(
+                (v0[lo:hi],), (j0[:, lo:hi],), tuple(weights), tuple(biases),
+                tuple(layout), self.activation_type, (True,), "float32",
+                interp,
+            )
+
+        cap = self._KERNEL_ROW_CAP
+        mp = v0.shape[0]
+        if mp <= cap:
+            v, j = call(0, mp)
+        else:
+            outs = [call(lo, min(lo + cap, mp)) for lo in range(0, mp, cap)]
+            v = jnp.concatenate([o[0] for o in outs], axis=0)
+            j = jnp.concatenate([o[1] for o in outs], axis=1)
+        sdf_feature = v[:m]
+        gradients = jnp.moveaxis(j[:, :m, 0], 0, 1)  # [M, 3] = d sdf/d xyz
+        return sdf_feature, gradients
+
     def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
         del sched  # NeuS has no warmups in the reference
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
@@ -101,20 +175,25 @@ class NeuS(BaseField):
         pos = sampling.sample_pos.reshape(-1, 3)
         direction = sampling.sample_dir.reshape(-1, 3)
 
-        def trunk(p: Array) -> Array:
-            embed_pos = positional_encoding(p, self.embed_pos_rank)
-            hx = embed_pos
-            for layer_id, layer in enumerate(params["layers_sdf"]):
-                hx = act(linear_apply(layer, hx))
-                if layer_id in self.skips:
-                    hx = jnp.concatenate([hx, embed_pos], axis=1)
-            return hx
+        if self._use_dual_normals():
+            sdf_feature, gradients = self._trunk_dual(params, pos)
+        else:
+            def trunk(p: Array) -> Array:
+                embed_pos = positional_encoding(p, self.embed_pos_rank)
+                hx = embed_pos
+                for layer_id, layer in enumerate(params["layers_sdf"]):
+                    hx = act(linear_apply(layer, hx))
+                    if layer_id in self.skips:
+                        hx = jnp.concatenate([hx, embed_pos], axis=1)
+                return hx
 
-        def sdf_sum(p: Array):
-            hx = trunk(p)
-            return jnp.sum(hx[:, 0]), hx
+            def sdf_sum(p: Array):
+                hx = trunk(p)
+                return jnp.sum(hx[:, 0]), hx
 
-        (_, sdf_feature), gradients = jax.value_and_grad(sdf_sum, has_aux=True)(pos)
+            (_, sdf_feature), gradients = jax.value_and_grad(
+                sdf_sum, has_aux=True
+            )(pos)
         sdf = sdf_feature[:, :1]
 
         embed_dir = positional_encoding(direction, self.embed_dir_rank)

@@ -1,0 +1,63 @@
+"""NeuS normals: the fused dual-Jacobian trunk must reproduce the
+reference's reverse-mode formulation (torch.autograd.grad,
+neus.py:133-142) — both are exact derivatives of the same network, so
+values agree to FP noise, and the OUTER loss gradient (reverse through
+the normals, i.e. second-order) must agree too."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neddf_tpu.fields.neus import NeuS
+from neddf_tpu.geometry.rays import Sampling
+from neddf_tpu.kernels.dual_mlp import matmul_dtype
+
+
+@pytest.fixture(scope="module")
+def setup():
+    field_rev = NeuS(
+        embed_pos_rank=4, embed_dir_rank=2, sdf_layer_count=4,
+        sdf_layer_width=32, col_layer_count=3, col_layer_width=32,
+        skips=(1,), normals="reverse", fused="off",
+    )
+    field_dual = NeuS(
+        embed_pos_rank=4, embed_dir_rank=2, sdf_layer_count=4,
+        sdf_layer_width=32, col_layer_count=3, col_layer_width=32,
+        skips=(1,), normals="dual", fused="off",
+    )
+    params = field_rev.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    samp = Sampling(
+        sample_pos=jax.random.uniform(k, (4, 16, 3), minval=-1, maxval=1),
+        sample_dir=jax.random.normal(k, (4, 16, 3)),
+        diag_variance=jnp.zeros((4, 16, 3)),
+    )
+    return field_rev, field_dual, params, samp
+
+
+def test_dual_normals_match_reverse(setup):
+    field_rev, field_dual, params, samp = setup
+    with matmul_dtype(jnp.float32):
+        out_r = field_rev.apply(params, samp, None)
+        out_d = field_dual.apply(params, samp, None)
+    for k in ("sdf", "density", "color"):
+        np.testing.assert_allclose(
+            np.asarray(out_r[k]), np.asarray(out_d[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_dual_normals_outer_gradients_match(setup):
+    field_rev, field_dual, params, samp = setup
+
+    def loss(field, p):
+        out = field.apply(p, samp, None)
+        return (jnp.mean(jnp.square(out["color"])) +
+                jnp.mean(out["density"]) + jnp.mean(out["sdf"]))
+
+    with matmul_dtype(jnp.float32):
+        gr = jax.grad(lambda p: loss(field_rev, p))(params)
+        gd = jax.grad(lambda p: loss(field_dual, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
