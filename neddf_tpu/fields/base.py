@@ -66,7 +66,22 @@ class BaseField:
     def init(self, key: Array) -> Params:
         raise NotImplementedError
 
-    def apply(self, params: Params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+    def apply(
+        self,
+        params: Params,
+        sampling: Sampling,
+        sched: Schedule,
+        *,
+        need_aux: bool = True,
+    ) -> Dict[str, Array]:
+        """Evaluate the field at ``sampling``.
+
+        need_aux=False is the EVAL fast path: outputs whose only
+        consumers are training penalties (e.g. NeDDF's color-branch
+        Jacobian feeding constraints_color) may be skipped and the
+        ``fields_penalty`` entry returned as zeros. Fields without such
+        outputs ignore the flag.
+        """
         raise NotImplementedError
 
     def schedule(self, iteration) -> Schedule:
@@ -103,8 +118,10 @@ def voxelize(
     direction = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1))
 
     sched = field.schedule(-1)
+    # eval fast path, except when the requested field IS a penalty
+    need_aux = "penalty" in field_name
     apply_fn = jax.jit(
-        lambda p, s: field.apply(p, s, sched)[field_name]
+        lambda p, s: field.apply(p, s, sched, need_aux=need_aux)[field_name]
     )
     out = np.zeros(n, np.float32)
     for i in range(0, n, chunk):

@@ -211,7 +211,9 @@ class NeDDF(BaseField):
         v, j = self._chunked_kernel(call, vs_p[0].shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
-    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+    def apply(
+        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+    ) -> Dict[str, Array]:
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
         act, dact = ACTIVATIONS[self.activation_type]
         density_act, _ = ACTIVATIONS[self.density_activation_type]
@@ -296,6 +298,46 @@ class NeDDF(BaseField):
 
         # --- color branch (dual, to get colorJ for the penalty) ----------
         m = pos.shape[0]
+        if not need_aux:
+            # EVAL fast path: the color-branch Jacobian's only consumer is
+            # the constraints_color penalty — skip the 3 tangent streams
+            # (the dual color kernel is ~3x the value-only cost)
+            ep_val = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
+            if fused:
+                from neddf_tpu.kernels.dual_mlp import pad_rows
+                from neddf_tpu.kernels.mlp import TILE_M as MLP_TILE, mlp_seg
+
+                segs = (cast(ep_val), cast(embed_dir), cast(sg(norm_dir)), v_feat)
+                padded = [pad_rows(x, MLP_TILE) for x in segs]
+                hc = mlp_seg(
+                    tuple(x for x, _ in padded),
+                    tuple(l["w"] for l in params["layers_col"]),
+                    tuple(l["b"] for l in params["layers_col"]),
+                    (False,) * len(params["layers_col"]),
+                    self.activation_type,
+                    self._kernel_out_dtype(),
+                    jax.default_backend() != "tpu",
+                )[:m]
+            else:
+                hc = cast(
+                    jnp.concatenate(
+                        [ep_val, embed_dir, sg(norm_dir), dual_value(features)],
+                        axis=1,
+                    )
+                )
+                for layer in params["layers_col"]:
+                    hc = act(hc @ cast(layer["w"]) + cast(layer["b"]))
+            w_co = cast(params["layer_col_out"]["w"])
+            b_co = cast(params["layer_col_out"]["b"])
+            color = (hc @ w_co + b_co).astype(jnp.float32)
+            fields_penalty = jnp.zeros((m, 1), jnp.float32)
+            return {
+                "distance": distance.reshape(batch_size, sampling_size),
+                "density": density.reshape(batch_size, sampling_size),
+                "color": color.reshape(batch_size, sampling_size, 3),
+                "fields_penalty": fields_penalty.reshape(batch_size, sampling_size),
+                "aux_grad": aux_grad.reshape(batch_size, sampling_size),
+            }
         if fused:
             ep_v, ep_j = pe_dual_planes(
                 pos, self.embed_pos_rank, lowpass * weights

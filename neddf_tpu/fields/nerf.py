@@ -117,7 +117,10 @@ class NeRF(BaseField):
             distance_range_max=jnp.float32(2.0),
         )
 
-    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+    def apply(
+        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+    ) -> Dict[str, Array]:
+        del need_aux  # NeRF has no penalty-only outputs
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
         act, _ = ACTIVATIONS[self.activation_type]
         density_act, _ = ACTIVATIONS[self.density_activation_type]

@@ -167,7 +167,10 @@ class NeuS(BaseField):
         gradients = jnp.moveaxis(j[:, :m, 0], 0, 1)  # [M, 3] = d sdf/d xyz
         return sdf_feature, gradients
 
-    def apply(self, params, sampling: Sampling, sched: Schedule) -> Dict[str, Array]:
+    def apply(
+        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+    ) -> Dict[str, Array]:
+        del need_aux  # NeuS has no penalty-only outputs
         del sched  # NeuS has no warmups in the reference
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
         act, _ = ACTIVATIONS[self.activation_type]

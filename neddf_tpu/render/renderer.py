@@ -95,8 +95,12 @@ class NeRFRender:
         uv: Array,
         key: Array,
         iteration,
+        need_aux: bool = True,
     ) -> Dict[str, Array]:
         """Render a batch of rays; fully traceable under jit.
+
+        need_aux=False (eval renders) skips field outputs whose only
+        consumers are training penalties (fields/base.py::apply).
 
         Args:
             params: renderer parameter pytree.
@@ -126,7 +130,8 @@ class NeRFRender:
 
         sched_coarse = self.network_coarse.schedule(iteration)
         values_coarse = self.network_coarse.apply(
-            self._coarse_params(params), samples_coarse, sched_coarse
+            self._coarse_params(params), samples_coarse, sched_coarse,
+            need_aux=need_aux,
         )
         integrate_coarse = integrate_volume_render(
             dists_coarse, values_coarse["density"], values_coarse["color"], self.max_dist
@@ -149,7 +154,8 @@ class NeRFRender:
         samples_fine = self._make_sampling(rays, dists_fine)
         sched_fine = self.network_fine.schedule(iteration)
         values_fine = self.network_fine.apply(
-            params["network_fine"], samples_fine, sched_fine
+            params["network_fine"], samples_fine, sched_fine,
+            need_aux=need_aux,
         )
         integrate = integrate_volume_render(
             dists_fine, values_fine["density"], values_fine["color"], self.max_dist
@@ -245,7 +251,7 @@ class NeRFRender:
                 axis=-1,
             )
             sampling = self._make_sampling(rays, sel_dists)
-            values = network.apply(net_params, sampling, sched)
+            values = network.apply(net_params, sampling, sched, need_aux=False)
             return (
                 integrate_volume_render(
                     sel_dists, values["density"], values["color"],
@@ -303,7 +309,9 @@ class NeRFRender:
         return self._cached_jit(
             ("field_apply",),
             lambda: jax.jit(
-                lambda p, s, sched: self.network_fine.apply(p, s, sched)
+                lambda p, s, sched: self.network_fine.apply(
+                    p, s, sched, need_aux=False
+                )
             ),
         )
 
@@ -313,7 +321,7 @@ class NeRFRender:
             ("rays",),
             lambda: jax.jit(
                 lambda params, calib, r, t, uv, key: self.render_rays(
-                    params, calib, r, t, uv, key, -1
+                    params, calib, r, t, uv, key, -1, need_aux=False
                 )
             ),
         )
