@@ -246,11 +246,14 @@ class NeDDF(BaseField):
             def head_planes(name):
                 w, b = cast(params[name]["w"]), cast(params[name]["b"])
                 hv = (v_feat @ w + b).astype(jnp.float32)  # [M, 1]
-                hj = jnp.moveaxis(j_feat @ w, 0, 1)[:, :, 0]  # [M, 3]
-                return hv, hj.astype(jnp.float32)
+                # keep the tangent in PLANE layout [3, M] — [3,M]<->[M,3]
+                # relayouts are sublane shuffles that cost real time at
+                # these shapes on TPU
+                hj_p = (j_feat @ w)[:, :, 0].astype(jnp.float32)  # [3, M]
+                return hv, hj_p
 
-            ddf_out, ddf_jac = head_planes("layer_ddf_out")
-            aux_out, aux_jac = head_planes("layer_aux_out")
+            ddf_out, ddf_jac_p = head_planes("layer_ddf_out")
+            aux_out, aux_jac_p = head_planes("layer_aux_out")
         else:
             embed_scaled = pe_dual(
                 pos, self.embed_pos_rank, grad_scale * lowpass * weights
@@ -270,31 +273,37 @@ class NeDDF(BaseField):
                 cast(params["layer_ddf_out"]["b"]),
             ).astype(jnp.float32)
             ddf_out = dual_value(ddf)  # [M, 1] pre-activation
-            ddf_jac = dual_jacobian(ddf)[:, :, 0]  # [M, 3]
+            ddf_jac_p = jnp.transpose(dual_jacobian(ddf)[:, :, 0])  # [3, M]
             aux = linear_dual(
                 features,
                 cast(params["layer_aux_out"]["w"]),
                 cast(params["layer_aux_out"]["b"]),
             ).astype(jnp.float32)
             aux_out = dual_value(aux)
-            aux_jac = dual_jacobian(aux)[:, :, 0]
+            aux_jac_p = jnp.transpose(dual_jacobian(aux)[:, :, 0])  # [3, M]
 
         # head activations on (value, tangent) pairs — same chain rule as
-        # act_dual, on [M, 1] values / [M, 3] tangents
+        # act_dual, on [M, 1] values / [3, M] tangent PLANES (plane-major
+        # throughout: the only [3,M]->[M,3] relayout left is the color
+        # kernel's normal-segment input)
         distance = softplus(ddf_out) + self.d_near  # [M, 1]
-        distance_grad = softplus_deriv(ddf_out) * ddf_jac  # [M, 3]
+        distance_grad_p = softplus_deriv(ddf_out)[:, 0][None] * ddf_jac_p  # [3, M]
         aux_grad = sched.aux_grad_scale * sigmoid(aux_out)  # [M, 1]
-        aux_gg = (
-            sched.aux_grad_scale * sigmoid_deriv(aux_out) * aux_jac
-        )  # [M, 3]
+        aux_gg_p = (
+            (sched.aux_grad_scale * sigmoid_deriv(aux_out))[:, 0][None]
+            * aux_jac_p
+        )  # [3, M]
 
         # --- density from the distance field's spatial gradient ----------
-        nabla_distance = jnp.concatenate([distance_grad, aux_grad], axis=1)  # [M, 4]
-        distance_grad_norm = jnp.linalg.norm(distance_grad, axis=1, keepdims=True)
-        d_ddt = jnp.linalg.norm(nabla_distance, axis=1, keepdims=True)
-        distance_inv = 1.0 / distance
-        density = density_act(distance_inv * (1.0 - d_ddt))
-        norm_dir = distance_grad / (distance_grad_norm + 1e-7)
+        grad_sq = jnp.sum(jnp.square(distance_grad_p), axis=0)  # [M]
+        distance_grad_norm = jnp.sqrt(grad_sq)  # [M] = ||grad D||
+        # || [grad D, aux] || — same sum of squares as the reference's
+        # norm over the concat (neddf.py:234-240)
+        d_ddt = jnp.sqrt(grad_sq + jnp.square(aux_grad[:, 0]))  # [M]
+        distance_inv = 1.0 / distance[:, 0]  # [M]
+        density = density_act(distance_inv * (1.0 - d_ddt))  # [M]
+        norm_dir_p = distance_grad_p / (distance_grad_norm[None] + 1e-7)
+        norm_dir = jnp.transpose(norm_dir_p)  # [M, 3] (color input layout)
 
         # --- color branch (dual, to get colorJ for the penalty) ----------
         m = pos.shape[0]
@@ -330,7 +339,7 @@ class NeDDF(BaseField):
             w_co = cast(params["layer_col_out"]["w"])
             b_co = cast(params["layer_col_out"]["b"])
             color = (hc @ w_co + b_co).astype(jnp.float32)
-            fields_penalty = jnp.zeros((m, 1), jnp.float32)
+            fields_penalty = jnp.zeros((m,), jnp.float32)
             return {
                 "distance": distance.reshape(batch_size, sampling_size),
                 "density": density.reshape(batch_size, sampling_size),
@@ -348,9 +357,7 @@ class NeDDF(BaseField):
             w_co = cast(params["layer_col_out"]["w"])
             b_co = cast(params["layer_col_out"]["b"])
             color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
-            color_j = jnp.moveaxis(hc_j @ w_co, 0, 1).astype(
-                jnp.float32
-            )  # [M, 3, 3]
+            color_j_p = (hc_j @ w_co).astype(jnp.float32)  # [3, M, 3] planes
         else:
             embed_plain = pe_dual(pos, self.embed_pos_rank, lowpass * weights)
             col_y = jnp.concatenate(
@@ -381,31 +388,35 @@ class NeDDF(BaseField):
                 cast(params["layer_col_out"]["b"]),
             ).astype(jnp.float32)
             color = dual_value(col)  # [M, 3]
-            color_j = dual_jacobian(col)  # [M, 3, 3]
+            color_j_p = jnp.moveaxis(dual_jacobian(col), 1, 0)  # [3, M, 3]
 
         # --- field-constraint penalties (stop_gradient placements match
         #     neddf.py:259-300) ------------------------------------------
-        penalties: Dict[str, Array] = {}
-        d2d_dwdt = jnp.sum(aux_gg * norm_dir, axis=1, keepdims=True)
-        d2d_dwdt_rest = 3.0 * aux_grad * sg(distance_inv)
-        ag_scale = sg(aux_grad) * sg(distance_grad_norm) * sg(distance)
+        penalties: Dict[str, Array] = {}  # every term is an [M] vector
+        d2d_dwdt = jnp.sum(aux_gg_p * norm_dir_p, axis=0)  # [M]
+        d2d_dwdt_rest = 3.0 * aux_grad[:, 0] * sg(distance_inv)
+        ag_scale = (
+            sg(aux_grad[:, 0]) * sg(distance_grad_norm) * sg(distance[:, 0])
+        )
         penalties["constraints_aux_grad"] = ag_scale * jnp.square(
             d2d_dwdt - d2d_dwdt_rest
         )
         penalties["constraints_dDdt"] = jnp.square(relu(d_ddt - 1.0))
         penalties["range_distance"] = jnp.square(
-            relu(-4.6 - ddf_out) + relu(ddf_out - sched.distance_range_max)
+            relu(-4.6 - ddf_out[:, 0])
+            + relu(ddf_out[:, 0] - sched.distance_range_max)
         )
         penalties["range_aux_grad"] = jnp.square(
-            relu(-4.6 - aux_out) + relu(aux_out - 4.6)
+            relu(-4.6 - aux_out[:, 0]) + relu(aux_out[:, 0] - 4.6)
         )
         penalties["range_color"] = jnp.sum(
-            jnp.square(relu(-color) + relu(color - 1.0)), axis=1, keepdims=True
+            jnp.square(relu(-color) + relu(color - 1.0)), axis=1
         )
         penalties["constraints_color"] = jnp.sum(
-            jnp.square(jnp.sum(color_j * sg(distance_grad)[:, :, None], axis=1)),
+            jnp.square(
+                jnp.sum(color_j_p * sg(distance_grad_p)[:, :, None], axis=0)
+            ),
             axis=1,
-            keepdims=True,
         )
         weight_map = dict(self.penalty_weight)
         fields_penalty = sum(
