@@ -73,7 +73,9 @@ TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep)
 # production mode the stash is bf16 (half the VMEM), which affords a
 # 2x tile; f32 exactness mode keeps the f32 stash and the small tile.
 TILE_M_BWD = 128
-TILE_M_BWD_BF16 = 256
+TILE_M_BWD_BF16 = 512  # peaks ~16-18MB scoped VMEM (limit raised below);
+# measured fastest on v5e (256: 19.8k rays/s, 512: 20.6k, 1024: 20.0k)
+TILE_M_BWD_BF16_MULTI = 256  # fallback when rows aren't a 512 multiple
 
 
 def _bwd_tile() -> int:
@@ -453,6 +455,8 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     tile = _bwd_tile()
+    if tile > TILE_M_BWD_BF16_MULTI and m % tile:
+        tile = TILE_M_BWD_BF16_MULTI
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]
@@ -495,6 +499,10 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     for w, b in zip(weights, biases):
         args += [w, b]
     args += [gv, gj]
+    # the 512-row single-segment tile peaks at 16.33MB of scoped VMEM —
+    # barely past the 16MB default — and is worth it (bigger MXU tiles,
+    # half the grid steps), so raise the per-kernel limit
+    params = pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, layout, act_name, has_j, widths),
         grid=grid,
@@ -502,6 +510,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else params,
     )(*args)
     n_seg, n_j = len(widths), sum(has_j)
     dvs = tuple(outs[:n_seg])
