@@ -75,7 +75,6 @@ TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep)
 TILE_M_BWD = 128
 TILE_M_BWD_BF16 = 512  # peaks ~16-18MB scoped VMEM (limit raised below);
 # measured fastest on v5e (256: 19.8k rays/s, 512: 20.6k, 1024: 20.0k)
-TILE_M_BWD_BF16_MULTI = 256  # fallback when rows aren't a 512 multiple
 
 
 def _bwd_tile() -> int:
@@ -274,6 +273,10 @@ def _seg_specs(widths, has_j, tile, c_out):
 def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
                  interpret=False):
     m = vs[0].shape[0]
+    if m % TILE_M:
+        # the grid would silently skip the trailing rows — callers must
+        # pad_rows() to a TILE_M multiple
+        raise ValueError(f"rows {m} not a multiple of TILE_M={TILE_M}")
     widths = tuple(v.shape[-1] for v in vs)
     c_out = weights[-1].shape[-1]
     grid = (m // TILE_M,)
@@ -455,8 +458,6 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     tile = _bwd_tile()
-    if tile > TILE_M_BWD_BF16_MULTI and m % tile:
-        tile = TILE_M_BWD_BF16_MULTI
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]

@@ -184,3 +184,11 @@ def test_pad_rows():
     y = jnp.ones((TILE_M, 4))
     same, m2 = pad_rows(y)
     assert same is y and m2 == TILE_M
+
+
+def test_rows_must_be_tile_multiple(setup):
+    """Non-TILE_M-multiple rows would silently skip the tail of the
+    grid; the kernel must reject them (callers use pad_rows)."""
+    v0, j0, weights, biases = setup
+    with pytest.raises(ValueError, match="multiple of TILE_M"):
+        kernel_fn(v0[:768], j0[:, :768], weights, biases)
