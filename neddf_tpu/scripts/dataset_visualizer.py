@@ -67,7 +67,10 @@ def main() -> None:
 
     from neddf_tpu import config as config_lib
 
-    cfg = config_lib.compose("config", overrides=overrides)
+    # resolve the repo config dir like run.py — the tool then works from
+    # any cwd (the reference requires running from the repo root)
+    repo_root = Path(__file__).resolve().parents[2]
+    cfg = config_lib.compose(repo_root / "config", overrides=overrides)
     dataset = config_lib.instantiate(cfg["dataset"])
 
     out_dir = Path("dataset_viz")

@@ -58,7 +58,17 @@ def main(argv=None) -> None:
     repo_root = Path(__file__).resolve().parents[2]
     from neddf_tpu import config as config_lib
 
-    cfg = config_lib.compose(repo_root / "config", overrides=argv)
+    # hydra.run.dir=<path> is a Hydra built-in the reference inherits —
+    # honor it; it is a runtime location, not part of the config snapshot
+    run_dir_override = None
+    overrides = []
+    for ov in argv:
+        if ov.startswith("hydra.run.dir="):
+            run_dir_override = Path(ov.split("=", 1)[1])
+        else:
+            overrides.append(ov)
+
+    cfg = config_lib.compose(repo_root / "config", overrides=overrides)
 
     # re-root relative dataset dir against the repo root (run.py:15-16);
     # fall back to the reference's bundled data when ours is absent
@@ -69,11 +79,16 @@ def main(argv=None) -> None:
             candidate = Path("/root/reference", ds_dir)
         cfg["dataset"]["dataset_dir"] = str(candidate)
 
-    # hydra-style run dir outputs/{date}/{time}
-    now = datetime.datetime.now()
-    run_dir = repo_root / "outputs" / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+    # hydra-style run dir outputs/{date}/{time} unless overridden
+    if run_dir_override is not None:
+        run_dir = run_dir_override.resolve()
+    else:
+        now = datetime.datetime.now()
+        run_dir = (
+            repo_root / "outputs" / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+        )
     run_dir.mkdir(parents=True, exist_ok=True)
-    config_lib.save_snapshot(cfg, argv, run_dir)
+    config_lib.save_snapshot(cfg, overrides, run_dir)
     os.chdir(run_dir)
     print(f"run dir: {run_dir}")
 

@@ -2,12 +2,16 @@
 
 Usage:
     python -m neddf_tpu.scripts.run_eval <output_dir> [--epoch 2000]
+        [--cameras 0 25] [--downsampling 1]
 
 Recomposes the config snapshot saved in <output_dir>/.hydra with the
 override dataset.data_split=test, loads models/model_{epoch:05}.{ckpt,
 pth} (the .pth path accepts checkpoints written by the PyTorch
 reference, e.g. /root/reference/pretrained/bunny_smoke), renders every
 test camera to <output_dir>/eval and prints per-view PSNR/SSIM.
+``--cameras``/``--downsampling`` restrict to selected views / lower
+resolution for quick spot checks (the reference always renders all
+views full-res; PSNR/SSIM are only computed at downsampling 1).
 """
 from __future__ import annotations
 
@@ -21,6 +25,14 @@ def main() -> None:
     parser.add_argument("--epoch", type=int, default=2000)
     parser.add_argument(
         "--device", type=str, default=None, help="override trainer device"
+    )
+    parser.add_argument(
+        "--cameras", type=int, nargs="*", default=None,
+        help="test camera ids to render (default: all)",
+    )
+    parser.add_argument(
+        "--downsampling", type=int, default=1,
+        help="render at 1/N resolution (PSNR/SSIM only at 1)",
     )
     args = parser.parse_args()
 
@@ -54,7 +66,15 @@ def main() -> None:
 
     save_dir = output_dir / "eval"
     save_dir.mkdir(exist_ok=True)
-    trainer.render_all(save_dir)
+    if args.cameras is None and args.downsampling == 1:
+        trainer.render_all(save_dir)
+    else:
+        ids = args.cameras if args.cameras is not None else range(
+            len(trainer.dataset)
+        )
+        for camera_id in ids:
+            print(f"rendering from camera {camera_id}")
+            trainer.render_test(save_dir, camera_id, args.downsampling)
 
 
 if __name__ == "__main__":
