@@ -164,3 +164,82 @@ def import_torch_state_dict(pth_path: Union[str, Path], renderer) -> Dict[str, A
             "network_coarse", renderer.network_coarse
         )
     return params
+
+
+# ------------------------------------------------- .pth export (inverse)
+#
+# The reverse direction of the importer above: write our parameter
+# pytree as a reference-layout ``state_dict`` so a TPU-trained model can
+# be evaluated/visualised with the PyTorch reference's own tooling
+# (run_eval.py / fields_visualizer.py consume these via
+# base_trainer.py:115-121). Layouts mirror the import notes exactly:
+# LinearGradLayer weights stay [in, out]; plain nn.Linear transpose back
+# to [out, in].
+
+
+def _export_neddf(params: Dict[str, Any], prefix: str, field: NeDDF, sd) -> None:
+    def grad_linear(name: str, leaf: Dict[str, Any]) -> None:
+        sd[f"{prefix}.{name}.weight"] = np.asarray(leaf["w"], np.float32)
+        sd[f"{prefix}.{name}.bias"] = np.asarray(leaf["b"], np.float32)
+
+    for i, leaf in enumerate(params["layers_ddf"]):
+        grad_linear(f"layers_ddf.{i}", leaf)
+    for i, leaf in enumerate(params["layers_col"]):
+        grad_linear(f"layers_col.{i}", leaf)
+    grad_linear("layer_ddf_out", params["layer_ddf_out"])
+    grad_linear("layer_aux_out", params["layer_aux_out"])
+    grad_linear("layer_col_out", params["layer_col_out"])
+
+
+def _export_nerf(params: Dict[str, Any], prefix: str, field: NeRF, sd) -> None:
+    def torch_linear(name: str, leaf: Dict[str, Any]) -> None:
+        sd[f"{prefix}.{name}.weight"] = np.asarray(leaf["w"], np.float32).T
+        sd[f"{prefix}.{name}.bias"] = np.asarray(leaf["b"], np.float32)
+
+    for i, leaf in enumerate(params["layers"]):
+        torch_linear(f"layers.{i}", leaf)
+    torch_linear("outL_density", params["outL_density"])
+    torch_linear("outL_color.0", params["outL_color"][0])
+    torch_linear("outL_color.2", params["outL_color"][1])
+
+
+def _export_neus(params: Dict[str, Any], prefix: str, field: NeuS, sd) -> None:
+    def torch_linear(name: str, leaf: Dict[str, Any]) -> None:
+        sd[f"{prefix}.{name}.weight"] = np.asarray(leaf["w"], np.float32).T
+        sd[f"{prefix}.{name}.bias"] = np.asarray(leaf["b"], np.float32)
+
+    for i, leaf in enumerate(params["layers_sdf"]):
+        torch_linear(f"layers_sdf.{i}", leaf)
+    for i, leaf in enumerate(params["layers_col"]):
+        torch_linear(f"layers_col.{i}", leaf)
+    sd[f"{prefix}.variance"] = np.asarray(params["variance"], np.float32)
+
+
+def export_torch_state_dict(
+    params: Dict[str, Any], renderer, pth_path: Union[str, Path]
+) -> None:
+    """Write our params as a reference-layout ``.pth`` state_dict.
+
+    When the renderer shares one network (``use_coarse_network=False``)
+    the reference's module tree still contains BOTH prefixes — its
+    ``network_coarse`` is the same module object as ``network_fine``
+    (nerf_render.py:75) — so the fine tensors are written under both,
+    making the file strict-``load_state_dict`` compatible.
+    """
+    import torch
+
+    exporters = {NeDDF: _export_neddf, NeRF: _export_nerf, NeuS: _export_neus}
+    sd_np: Dict[str, np.ndarray] = {}
+    fine = renderer.network_fine
+    exporters[type(fine)](params["network_fine"], "network_fine", fine, sd_np)
+    if renderer.use_coarse_network:
+        coarse = renderer.network_coarse
+        exporters[type(coarse)](
+            params["network_coarse"], "network_coarse", coarse, sd_np
+        )
+    else:
+        exporters[type(fine)](params["network_fine"], "network_coarse", fine, sd_np)
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    Path(pth_path).parent.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, str(pth_path))

@@ -111,3 +111,14 @@ def test_dataset_visualizer_cli(run_dir, monkeypatch, tmp_path):
         os.chdir(cwd)
     out = tmp_path / "dataset_viz"
     assert out.exists() and any(out.iterdir()), "dataset_visualizer wrote nothing"
+
+
+def test_export_pth_cli(run_dir, monkeypatch):
+    from neddf_tpu.scripts import export_pth
+
+    monkeypatch.setattr(
+        sys, "argv", ["export_pth", str(run_dir), "--device", "cpu"]
+    )
+    export_pth.main()
+    pths = list((run_dir / "models").glob("model_*.pth"))
+    assert pths, "export_pth wrote no .pth"
