@@ -200,8 +200,10 @@ def _dual_act(pre_stack, tile, f, df):
     )
 
 
-def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
-    """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out."""
+def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
+    """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out
+    (+ per-layer pre-activation stash outs [4, T, C_li] when
+    ``want_stash`` — consumed by the no-recompute backward)."""
     n_seg = len(widths)
     n_j = sum(has_j)
     n_layers = len(layout)
@@ -209,7 +211,12 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
     j_refs = refs[n_seg : n_seg + n_j]
     wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
-    vo_ref, jo_ref = refs[-2], refs[-1]
+    if want_stash:
+        vo_ref, jo_ref = refs[-2 - n_layers], refs[-1 - n_layers]
+        stash_refs = refs[-n_layers:]
+    else:
+        vo_ref, jo_ref = refs[-2], refs[-1]
+        stash_refs = None
 
     f, df, _ = _act_fns(act_name)
     offs = _offsets(widths)
@@ -251,6 +258,12 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, *refs):
         else:
             pre = _mm(h, w)
             pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
+        if stash_refs is not None:
+            # identical values to what the recompute backward would
+            # rebuild, in the same (matmul) dtype — numerics unchanged
+            stash_refs[li][:] = pre.astype(_MM_DTYPE[0]).reshape(
+                4, tile, pre.shape[-1]
+            )
         h = _dual_act(pre, tile, f, df)
     vo_ref[:] = h[:tile].astype(out_dtype)
     for a in range(3):
@@ -271,7 +284,7 @@ def _seg_specs(widths, has_j, tile, c_out):
 
 
 def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
-                 interpret=False):
+                 interpret=False, want_stash=False):
     m = vs[0].shape[0]
     if m % TILE_M:
         # the grid would silently skip the trailing rows — callers must
@@ -295,25 +308,44 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
     for w, b in zip(weights, biases):
         args += [w, b]
     odt = jnp.dtype(out_dtype)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, layout, act_name, has_j, widths, odt),
+    out_shape = [
+        jax.ShapeDtypeStruct((m, c_out), odt),
+        jax.ShapeDtypeStruct((3, m, c_out), odt),
+    ]
+    params = None
+    if want_stash:
+        sdt = _MM_DTYPE[0]
+        for w in weights:
+            c = w.shape[-1]
+            out_specs.append(
+                pl.BlockSpec((4, TILE_M, c), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((4, m, c), sdt))
+        params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+    outs = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, layout, act_name, has_j, widths, odt, want_stash
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((m, c_out), odt),
-            jax.ShapeDtypeStruct((3, m, c_out), odt),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else params,
     )(*args)
+    if want_stash:
+        return outs[0], outs[1], tuple(outs[2:])
+    return outs
 
 
 # ------------------------------------------------------------- backward
-def _bwd_kernel(layout, act_name, has_j, widths, *refs):
-    """Recompute forward (stash pre & j@W only), reverse the dual chain.
+def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
+    """Reverse the dual chain; per-layer pre-activations either arrive
+    from the forward's HBM stash (``stashed``) or are recomputed in VMEM.
 
-    refs = [*v_segs, *j_segs, (w, b) * L, gv, gj]  inputs
-         + [*dv_segs, *dj_segs, (dw, db) * L]      outputs
+    refs = [*v_segs, *j_segs, (w, b) * L, gv, gj, (*pres)]  inputs
+         + [*dv_segs, *dj_segs, (dw, db) * L]               outputs
     """
     n_seg = len(widths)
     n_j = sum(has_j)
@@ -324,7 +356,9 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
     w_refs, b_refs = wb[0::2], wb[1::2]
     gv_ref = refs[n_seg + n_j + 2 * n_layers]
     gj_ref = refs[n_seg + n_j + 2 * n_layers + 1]
-    outs = refs[n_seg + n_j + 2 * n_layers + 2 :]
+    n_in = n_seg + n_j + 2 * n_layers + 2
+    stash_refs = refs[n_in : n_in + n_layers] if stashed else None
+    outs = refs[n_in + n_layers :] if stashed else refs[n_in:]
     dv_refs = outs[:n_seg]
     dj_refs = outs[n_seg : n_seg + n_j]
     dwb = outs[n_seg + n_j :]
@@ -347,35 +381,47 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
         else:
             seg.append(None)
 
-    # ---- recompute forward, stashing pre_stack [4T, C] per layer ------
-    # the stash lives in the matmul dtype: bf16 in production halves the
-    # VMEM footprint (allowing the 2x backward tile); f32 exactness mode
-    # stashes f32 and reproduces the original numerics bit-for-bit
-    stash_dt = _MM_DTYPE[0]
-    h = None
-    pres = []
-    for li, split in enumerate(layout):
-        w, b = w_refs[li][:], b_refs[li][:]
-        if li == 0:
-            pre = None
-            for i in range(n_seg):
-                rows = w[offs[i] : offs[i] + widths[i], :]
-                if seg[i] is not None:
-                    term = _mm(seg[i], rows)
-                else:
-                    vterm = _mm(v_refs[i][:], rows)
-                    term = jnp.concatenate(
-                        [vterm, jnp.zeros((3 * tile, rows.shape[-1]), vterm.dtype)],
-                        axis=0,
-                    )
-                pre = term if pre is None else pre + term
-        elif split:
-            pre = _mm(seg[0], w[:c0, :]) + _mm(h, w[c0:, :])
-        else:
-            pre = _mm(h, w)
-        pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
-        pres.append(pre.astype(stash_dt))
-        h = _dual_act(pre, tile, f, df)
+    if stashed:
+        # pre-activations were written by the forward kernel (same
+        # values the recompute below would produce, same dtype)
+        pres = [
+            r[:].reshape(4 * tile, r.shape[-1]) for r in stash_refs
+        ]
+    else:
+        # ---- recompute forward, stashing pre_stack [4T, C] per layer --
+        # the stash lives in the matmul dtype: bf16 in production halves
+        # the VMEM footprint (allowing the 2x backward tile); f32
+        # exactness mode stashes f32, reproducing original numerics
+        stash_dt = _MM_DTYPE[0]
+        h = None
+        pres = []
+        for li, split in enumerate(layout):
+            w, b = w_refs[li][:], b_refs[li][:]
+            if li == 0:
+                pre = None
+                for i in range(n_seg):
+                    rows = w[offs[i] : offs[i] + widths[i], :]
+                    if seg[i] is not None:
+                        term = _mm(seg[i], rows)
+                    else:
+                        vterm = _mm(v_refs[i][:], rows)
+                        term = jnp.concatenate(
+                            [
+                                vterm,
+                                jnp.zeros(
+                                    (3 * tile, rows.shape[-1]), vterm.dtype
+                                ),
+                            ],
+                            axis=0,
+                        )
+                    pre = term if pre is None else pre + term
+            elif split:
+                pre = _mm(seg[0], w[:c0, :]) + _mm(h, w[c0:, :])
+            else:
+                pre = _mm(h, w)
+            pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
+            pres.append(pre.astype(stash_dt))
+            h = _dual_act(pre, tile, f, df)
 
     # ---- reverse pass --------------------------------------------------
     gv = gv_ref[:].astype(jnp.float32)
@@ -454,7 +500,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, *refs):
 
 
 def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
-                  interpret=False):
+                  interpret=False, pres=None):
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     tile = _bwd_tile()
@@ -500,12 +546,24 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     for w, b in zip(weights, biases):
         args += [w, b]
     args += [gv, gj]
+    stashed = pres is not None
+    if stashed:
+        for p in pres:
+            in_specs.append(
+                pl.BlockSpec(
+                    (4, tile, p.shape[-1]), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        args += list(pres)
     # the 512-row single-segment tile peaks at 16.33MB of scoped VMEM —
     # barely past the 16MB default — and is worth it (bigger MXU tiles,
-    # half the grid steps), so raise the per-kernel limit
-    params = pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+    # half the grid steps), so raise the per-kernel limit; the stashed
+    # variant streams the per-layer pre-activation blocks too
+    limit = (48 if stashed else 24) * 1024 * 1024
+    params = pltpu.CompilerParams(vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, layout, act_name, has_j, widths),
+        functools.partial(_bwd_kernel, layout, act_name, has_j, widths, stashed),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -560,22 +618,55 @@ def dual_mlp_seg(
     )
 
 
+# When True, a differentiated dual_mlp_seg's forward writes its per-layer
+# pre-activations to HBM and the backward streams them back instead of
+# recomputing the forward per tile: backward drops from 3x to 2x forward
+# MXU work for ~2GB/step of extra (largely MXU-overlapped) HBM traffic
+# at the flagship shapes. Values and dtype match the recompute exactly,
+# so numerics are identical either way. The un-differentiated (eval)
+# path never stashes.
+_BWD_STASH = [True]
+
+
+class bwd_stash:
+    """Context manager toggling the stashed backward (A/B benches)."""
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self):
+        self.prev = _BWD_STASH[0]
+        _BWD_STASH[0] = self.on
+
+    def __exit__(self, *exc):
+        _BWD_STASH[0] = self.prev
+
+
 def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interpret):
+    if _BWD_STASH[0]:
+        v, j, pres = _run_forward(
+            tuple(vs), tuple(js), tuple(weights), tuple(biases), layout,
+            act_name, has_j, out_dtype, interpret, want_stash=True,
+        )
+        return (v, j), (
+            tuple(vs), tuple(js), tuple(weights), tuple(biases), pres
+        )
     out = _run_forward(
         tuple(vs), tuple(js), tuple(weights), tuple(biases), layout, act_name,
         has_j, out_dtype, interpret,
     )
-    return out, (tuple(vs), tuple(js), tuple(weights), tuple(biases))
+    return out, (tuple(vs), tuple(js), tuple(weights), tuple(biases), None)
 
 
 def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
-    vs, js, weights, biases = res
+    vs, js, weights, biases, pres = res
     gv, gj = g
     # gv/gj enter in the kernel OUTPUT dtype (bf16 in production) and dx
     # cotangents leave in the primal input dtypes — no f32 staging arrays
     # on either side of the kernel; only dW/db (tiny) are f32.
     dvs, djs, dws, dbs = _run_backward(
         vs, js, weights, biases, layout, act_name, has_j, gv, gj, interpret,
+        pres=pres,
     )
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))

@@ -192,3 +192,35 @@ def test_rows_must_be_tile_multiple(setup):
     v0, j0, weights, biases = setup
     with pytest.raises(ValueError, match="multiple of TILE_M"):
         kernel_fn(v0[:768], j0[:, :768], weights, biases)
+
+
+def test_stashed_backward_matches_recompute(setup):
+    """The HBM-stash backward is the same arithmetic as the per-tile
+    recompute backward (same pre values, same dtype chain); only
+    backend-level matmul accumulation order differs between the two
+    compiled programs, so compare to f32-roundoff tolerance in
+    exactness mode and bf16 noise in production mode."""
+    v0, j0, weights, biases = setup
+
+    def loss(v0, j0, weights, biases):
+        v, j = kernel_fn(v0, j0, weights, biases)
+        return jnp.sum(jnp.sin(v)) + jnp.sum(j * j)
+
+    for dt, rtol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        with matmul_dtype(dt):
+            with K.bwd_stash(True):
+                g_stash = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                    v0, j0, weights, biases
+                )
+            with K.bwd_stash(False):
+                g_rec = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                    v0, j0, weights, biases
+                )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_stash), jax.tree_util.tree_leaves(g_rec)
+        ):
+            b = np.asarray(b)
+            np.testing.assert_allclose(
+                np.asarray(a), b, rtol=rtol,
+                atol=rtol * max(1e-6, float(np.abs(b).max())),
+            )
