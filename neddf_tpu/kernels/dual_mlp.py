@@ -20,11 +20,14 @@ for a tile of samples inside VMEM:
   neddf.py:243-257) skip the tangent matmuls entirely.
 * the reference's skip re-concat ``[embed, h]`` (neddf.py:214-219) uses
   the same split-weight trick, re-injecting segment 0.
-* backward is a second kernel that RECOMPUTES the forward per tile
-  (activations never touch HBM in either direction) and accumulates
-  dW/db across the sequential TPU grid; it hand-implements the dual
-  chain rule including the f'' coupling the reference writes by hand
-  in its custom backwards (e.g. with_grad/softplus.py:83-89)
+* backward is a second kernel that hand-implements the dual chain rule
+  including the f'' coupling the reference writes by hand in its custom
+  backwards (e.g. with_grad/softplus.py:83-89), accumulating dW/db
+  across the sequential TPU grid. Under a differentiated call the
+  forward streams its per-layer pre-activation stacks to HBM and the
+  backward reads them back (_BWD_STASH, default); A/B on v5e-1:
+  21.6k rays/s stashed vs 20.8k with the per-tile recompute variant,
+  which remains available via ``bwd_stash(False)``.
 
 Exposed through ``dual_mlp_seg`` (multi-segment) and the single-segment
 convenience wrapper ``dual_mlp``, both with jax.custom_vjp so
