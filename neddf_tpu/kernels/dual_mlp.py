@@ -51,12 +51,17 @@ pattern (contiguous early-ray block, onset mid-ray, unchanged across
 two kernel rewrites and with chunked calls) indicates an XLA-level
 miscompile at that program scale, not a kernel defect. All shipping
 configs (batch <= 1024 rays, render chunks <= 1024) are unaffected;
-B = 2048 is verified clean end-to-end. MITIGATION: the trainer's
-``grad_accum`` option (training/trainer.py) microbatches the grad
-program under lax.scan — B = 4096 with grad_accum = 4 is verified
-NaN-free on v5e (loss decreasing, zero non-finite rays/grads over
-multiple steps) while remaining numerically equivalent to the
-monolithic step.
+B = 2048 is verified clean end-to-end (re-verified with the stashed
+backward). MITIGATION: the trainer's ``grad_accum`` option
+(training/trainer.py) microbatches the grad program under lax.scan —
+B = 4096 with grad_accum = 4 is verified NaN-free on v5e (loss
+decreasing, zero non-finite rays/grads over multiple steps, re-verified
+with the stashed backward) while remaining numerically equivalent to
+the monolithic step. Note the stashed backward also changes the
+monolithic-B=4096 failure mode: its pre-activation residuals put that
+program at ~31GB of HBM, so it now fails loudly at compile time (OOM)
+instead of silently mis-running; grad_accum (or ``bwd_stash(False)``)
+is the path for such batch sizes either way.
 """
 from __future__ import annotations
 
