@@ -125,3 +125,39 @@ def test_sharded_render_replicates_tiles(key):
     assert out["color"].shape == (16, 3)
     # output replicated on all devices
     assert out["color"].sharding.is_fully_replicated
+
+
+def test_sharded_render_matches_single_device(key):
+    """DP-sharded eval render must reproduce the single-device pixels
+    bit-near (per-pixel RNG + unchanged local program).
+
+    NOT asserted for a model>1 (TP) mesh at random init: GSPMD's
+    different reduction order perturbs the trunk Jacobian by ~1e-6,
+    which the color branch's normal normalisation (dg/(|dg|+1e-7)) and
+    the density's 1/distance (distance ~ d_near) legitimately amplify
+    to O(1) wherever gradients are degenerate — an amplification of
+    noise, not a sharding bug (verified by bisecting every intermediate:
+    values, Jacobians, and heads all match to f32 roundoff)."""
+    mesh = make_mesh(8, model=1)
+    renderer, params, calib = _setup(mesh, key)
+    render = make_sharded_render(renderer, calib, mesh)
+    r = jnp.eye(3)
+    t = jnp.array([0.0, 0.0, 4.0])
+    uv = jnp.stack(
+        [jnp.arange(16, dtype=jnp.int32) % 8,
+         jnp.arange(16, dtype=jnp.int32) // 2 % 8], axis=1
+    )
+    out = render(params, r, t, uv, key)
+
+    params_local = jax.device_get(params)
+    ref = renderer.render_rays(
+        jax.tree_util.tree_map(jnp.asarray, params_local),
+        PinholeCalib(jnp.array([10.0, 10.0, 4.0, 4.0])),
+        r, t, uv, key, -1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["color"]), np.asarray(ref["color"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), rtol=1e-5, atol=1e-5
+    )
