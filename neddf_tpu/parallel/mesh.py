@@ -58,7 +58,18 @@ def _is_weight(path) -> bool:
 def shard_field_params(params, mesh: Mesh):
     """Tensor-parallel placement: weight out-dims and biases shard over
     'model'; with model=1 this degenerates to replication. GSPMD derives
-    the activation all-gathers / reduce-scatters."""
+    the activation all-gathers / reduce-scatters.
+
+    KNOWN TOOLCHAIN ISSUE (virtual CPU mesh, current jaxlib): with
+    model>1, the FULL multi-output NeDDF apply program is miscompiled by
+    the XLA CPU SPMD partitioner — Jacobian-derived outputs (density,
+    penalties) deterministically diverge while every component and the
+    density-only program match to f32 roundoff (see
+    tests/parallel/test_mesh.py::test_tp_full_apply_matches_density_only,
+    an xfail that flips when the toolchain fixes it). DP (model=1) is
+    verified bit-near end-to-end and is the right mesh for these
+    2.5MB-parameter models; treat model>1 as a compile/shape validation
+    path until that xfail flips."""
 
     model_size = mesh.shape["model"]
 

@@ -161,3 +161,43 @@ def test_sharded_render_matches_single_device(key):
     np.testing.assert_allclose(
         np.asarray(out["depth"]), np.asarray(ref["depth"]), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="XLA CPU SPMD partitioner miscompile: with model-axis "
+    "(width) sharded weights, the FULL multi-output NeDDF apply "
+    "program computes a different Jacobian-derived density than the "
+    "same function restricted to the density output (max diff ~5.3 on "
+    "the pretrained net), deterministically, on current jaxlib. "
+    "Components (trunk values/Jacobians/heads) and the density-only "
+    "program all match to f32 roundoff, and adding a redundant "
+    "recomputation to the same program makes apply's density correct "
+    "— i.e. value-changing partitioner rewrites, not our math. "
+    "Pre-dates the plane-major layout (reproduced at f3ccb95). "
+    "DP (model=1) is verified exact and is the recommended mesh for "
+    "these 2.5MB-parameter models; this test flips to XPASS when the "
+    "toolchain is fixed.",
+)
+def test_tp_full_apply_matches_density_only(key):
+    """Width-sharded (TP) full apply vs density-only apply equality."""
+    mesh = make_mesh(8, model=2)
+    renderer, params, calib = _setup(mesh, key)
+    net = renderer.network_fine
+    from neddf_tpu.geometry.rays import Sampling
+
+    rng = np.random.default_rng(3)
+    S = Sampling(
+        sample_pos=jnp.asarray(rng.uniform(-1.5, 1.5, (8, 16, 3)).astype(np.float32)),
+        sample_dir=jnp.asarray(rng.normal(size=(8, 16, 3)).astype(np.float32)),
+        diag_variance=jnp.abs(
+            jnp.asarray(rng.normal(size=(8, 16, 3)).astype(np.float32))
+        ) * 1e-4,
+    )
+    sched = net.schedule(jnp.int32(-1))
+    fp = params["network_fine"]
+    full = jax.jit(lambda p: net.apply(p, S, sched)["density"])(fp)
+    only = jax.jit(lambda p: net.apply(p, S, sched))(fp)["density"]
+    np.testing.assert_allclose(
+        np.asarray(only), np.asarray(full), rtol=1e-4, atol=1e-4
+    )
