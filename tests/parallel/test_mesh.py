@@ -131,13 +131,11 @@ def test_sharded_render_matches_single_device(key):
     """DP-sharded eval render must reproduce the single-device pixels
     bit-near (per-pixel RNG + unchanged local program).
 
-    NOT asserted for a model>1 (TP) mesh at random init: GSPMD's
-    different reduction order perturbs the trunk Jacobian by ~1e-6,
-    which the color branch's normal normalisation (dg/(|dg|+1e-7)) and
-    the density's 1/distance (distance ~ d_near) legitimately amplify
-    to O(1) wherever gradients are degenerate — an amplification of
-    noise, not a sharding bug (verified by bisecting every intermediate:
-    values, Jacobians, and heads all match to f32 roundoff)."""
+    NOT asserted for a model>1 (TP) mesh: the XLA CPU SPMD partitioner
+    deterministically miscompiles the full multi-output apply program
+    under width-sharded weights (Jacobian-derived outputs diverge while
+    every bisected component matches to f32 roundoff) — see
+    test_tp_full_apply_matches_density_only below."""
     mesh = make_mesh(8, model=1)
     renderer, params, calib = _setup(mesh, key)
     render = make_sharded_render(renderer, calib, mesh)
