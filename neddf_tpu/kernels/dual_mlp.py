@@ -75,7 +75,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep)
+TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep; 1024 re-swept with stash: 21.5k vs 21.9k)
 # backward recomputes + stashes per-layer tensors in VMEM, so it uses a
 # smaller tile to stay under the ~16MB scoped-VMEM budget. In bf16
 # production mode the stash is bf16 (half the VMEM), which affords a
