@@ -420,11 +420,18 @@ class NeRFRender:
         # recompile the slice program at every epoch hook
         values = self._field_apply_jit()(params["network_fine"], sampling, sched)
         scales = {"distance": 256.0, "density": 12.8, "color": 256.0, "aux_grad": 256.0}
+        # signed fields render around mid-gray (superset: the reference
+        # slices NeDDF fields only)
+        offsets = {"sdf": (128.0, 128.0)}
         fields: Dict[str, np.ndarray] = {}
         for name, value in values.items():
-            if name not in scales:
+            if name not in scales and name not in offsets:
                 continue
-            img = scales[name] * np.asarray(value).reshape(res, res, -1)
+            if name in offsets:
+                off, sc = offsets[name]
+                img = off + sc * np.asarray(value).reshape(res, res, -1)
+            else:
+                img = scales[name] * np.asarray(value).reshape(res, res, -1)
             if img.shape[2] == 1:
                 fields[name] = cv2.applyColorMap(
                     img.clip(0, 255).astype(np.uint8), cv2.COLORMAP_JET

@@ -117,10 +117,15 @@ def main() -> None:
     parser.add_argument("output_dir", type=Path)
     parser.add_argument("--epoch", type=int, default=2000)
     parser.add_argument("--resolution", type=int, default=64)
-    parser.add_argument("--threshold", type=float, default=0.0275)
     parser.add_argument(
-        "--field", type=str, default="distance",
-        help="scalar field to mesh: distance (NeDDF), sdf (NeuS), density",
+        "--threshold", type=float, default=None,
+        help="iso level; default per field: distance 0.0275 (reference "
+        "fields_visualizer.py:39), sdf 0.05, density 15.0",
+    )
+    parser.add_argument(
+        "--field", type=str, default="auto",
+        help="scalar field to mesh: auto (by network family), "
+        "distance (NeDDF), sdf (NeuS), density",
     )
     parser.add_argument("--slices", type=int, default=5)
     parser.add_argument("--device", type=str, default=None)
@@ -137,9 +142,21 @@ def main() -> None:
     output_dir = args.output_dir.resolve()
     trainer = _load_trainer(output_dir, args.epoch, args.device)
 
+    field = args.field
+    if field == "auto":
+        # pick the family's natural level-set field so the tool works on
+        # any run dir out of the box (the reference only handles NeDDF)
+        net_kind = type(trainer.neural_render.network_fine).__name__
+        field = {"NeDDF": "distance", "NeuS": "sdf"}.get(net_kind, "density")
+    threshold = args.threshold
+    if threshold is None:
+        # NeuS's sdf channel is ReLU-activated (>= 0, reference
+        # neus.py takes the first channel of activated features), so the
+        # usable level set sits slightly above zero
+        threshold = {"distance": 0.0275, "sdf": 0.05}.get(field, 15.0)
+
     vertices, triangles = generate_mesh(
-        trainer, output_dir, args.resolution, args.threshold,
-        field_name=args.field,
+        trainer, output_dir, args.resolution, threshold, field_name=field,
     )
     export_field_slices(trainer, output_dir, args.slices)
 
