@@ -60,6 +60,25 @@ def linear_apply(p: Dict[str, Array], x: Array) -> Array:
     return x @ p["w"] + p["b"]
 
 
+def tp_gather(h: Array, tp_axis, full_width: int) -> Array:
+    """Reassemble a width shard under shard_map tensor parallelism.
+
+    With a field's ``tp_axis`` set, its trunk weights are column-sharded
+    over that mesh axis (parallel/mesh.py::shard_field_params) and each
+    device computes a [.., W/n] activation slice; this all-gathers the
+    slices back to full width so the next layer (and the replicated
+    heads) see the reference math unchanged. The explicit collective is
+    what lets TP bypass the GSPMD SPMD partitioner entirely — see the
+    partitioner-miscompile note in parallel/mesh.py.
+
+    No-op when tp_axis is None or the activation is already full width
+    (replicated-weight layers such as the 1/3-wide heads).
+    """
+    if tp_axis is None or h.shape[-1] >= full_width:
+        return h
+    return jax.lax.all_gather(h, tp_axis, axis=h.ndim - 1, tiled=True)
+
+
 class BaseField:
     """Static-config mixin; subclasses are frozen dataclasses."""
 

@@ -25,7 +25,12 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from neddf_tpu.fields.base import BaseField, Schedule, linear_init_xavier_normal
+from neddf_tpu.fields.base import (
+    BaseField,
+    Schedule,
+    linear_init_xavier_normal,
+    tp_gather,
+)
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.ops.activations import ACTIVATIONS, relu, sigmoid, sigmoid_deriv, softplus, softplus_deriv
 from neddf_tpu.ops.dual import (
@@ -75,6 +80,12 @@ class NeDDF(BaseField):
     # force it. The kernel keeps all trunk activations in VMEM (fwd AND
     # bwd via recompute) — see neddf_tpu/kernels/dual_mlp.py.
     fused: str = "auto"
+    # shard_map tensor parallelism: when set to a mesh axis name, trunk
+    # weights are column-sharded over that axis and each jnp-path layer
+    # all-gathers its activation slice (fields/base.py::tp_gather). Set
+    # by parallel/mesh.py's TP train step; disables the fused kernels
+    # (a Pallas call can't consume width shards).
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
@@ -136,6 +147,8 @@ class NeDDF(BaseField):
         )
 
     def _use_fused(self) -> bool:
+        if self.tp_axis is not None:
+            return False
         if self.fused == "on":
             return True
         if self.fused == "off":
@@ -263,6 +276,7 @@ class NeDDF(BaseField):
                 h = act_dual(
                     linear_dual(h, cast(layer["w"]), cast(layer["b"])), act, dact
                 )
+                h = tp_gather(h, self.tp_axis, self.ddf_layer_width)
                 if layer_id in self.skips:
                     h = jnp.concatenate([cast(embed_scaled), h], axis=-1)
             features = h  # dual [M, 4, W]
@@ -318,15 +332,30 @@ class NeDDF(BaseField):
 
                 segs = (cast(ep_val), cast(embed_dir), cast(sg(norm_dir)), v_feat)
                 padded = [pad_rows(x, MLP_TILE) for x in segs]
-                hc = mlp_seg(
-                    tuple(x for x, _ in padded),
-                    tuple(l["w"] for l in params["layers_col"]),
-                    tuple(l["b"] for l in params["layers_col"]),
-                    (False,) * len(params["layers_col"]),
-                    self.activation_type,
-                    self._kernel_out_dtype(),
-                    jax.default_backend() != "tpu",
-                )[:m]
+                w_col = tuple(l["w"] for l in params["layers_col"])
+                b_col = tuple(l["b"] for l in params["layers_col"])
+
+                # chunk at the same row cap as every other kernel call —
+                # a large eval chunk (e.g. 8192 rays x 259 samples) must
+                # not produce a single call outside the verified M regime
+                def col_call(lo, hi):
+                    return mlp_seg(
+                        tuple(x[lo:hi] for x, _ in padded),
+                        w_col, b_col, (False,) * len(w_col),
+                        self.activation_type, self._kernel_out_dtype(),
+                        jax.default_backend() != "tpu",
+                    )
+
+                mp = padded[0][0].shape[0]
+                cap = self._KERNEL_ROW_CAP
+                if mp <= cap:
+                    hc = col_call(0, mp)[:m]
+                else:
+                    hc = jnp.concatenate(
+                        [col_call(lo, min(lo + cap, mp))
+                         for lo in range(0, mp, cap)],
+                        axis=0,
+                    )[:m]
             else:
                 hc = cast(
                     jnp.concatenate(
@@ -336,6 +365,7 @@ class NeDDF(BaseField):
                 )
                 for layer in params["layers_col"]:
                     hc = act(hc @ cast(layer["w"]) + cast(layer["b"]))
+                    hc = tp_gather(hc, self.tp_axis, self.col_layer_width)
             w_co = cast(params["layer_col_out"]["w"])
             b_co = cast(params["layer_col_out"]["b"])
             color = (hc @ w_co + b_co).astype(jnp.float32)
@@ -382,6 +412,7 @@ class NeDDF(BaseField):
                 hc = act_dual(
                     linear_dual(hc, cast(layer["w"]), cast(layer["b"])), act, dact
                 )
+                hc = tp_gather(hc, self.tp_axis, self.col_layer_width)
             col = linear_dual(
                 hc,
                 cast(params["layer_col_out"]["w"]),

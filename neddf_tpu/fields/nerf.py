@@ -15,7 +15,7 @@ quirks preserved:
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ from neddf_tpu.fields.base import (
     Schedule,
     linear_apply,
     linear_init_torch_default,
+    tp_gather,
 )
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.ops.activations import ACTIVATIONS
@@ -48,11 +49,15 @@ class NeRF(BaseField):
     compute_dtype: str = "float32"
     # fused Pallas trunk (kernels/mlp.py): "auto" = TPU only
     fused: str = "auto"
+    # shard_map tensor parallelism (see fields/base.py::tp_gather)
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
 
     def _use_fused(self) -> bool:
+        if self.tp_axis is not None:
+            return False
         if self.fused == "on":
             return True
         if self.fused == "off":
@@ -143,6 +148,7 @@ class NeRF(BaseField):
             hx = cast(embed_pos)
             for layer_id, layer in enumerate(params["layers"]):
                 hx = act(linear_apply(cast_p(layer), hx))
+                hx = tp_gather(hx, self.tp_axis, self.layer_width)
                 if layer_id in self.skips:
                     hx = jnp.concatenate([hx, cast(embed_pos)], axis=1)
         density = density_act(
@@ -151,6 +157,7 @@ class NeRF(BaseField):
 
         h = jnp.concatenate([hx, cast(embed_dir)], axis=1)
         h = jax.nn.relu(linear_apply(cast_p(params["outL_color"][0]), h))
+        h = tp_gather(h, self.tp_axis, self.layer_width // 2)
         color = linear_apply(cast_p(params["outL_color"][1]), h).astype(jnp.float32)
 
         return {

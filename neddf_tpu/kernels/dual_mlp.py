@@ -268,7 +268,11 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
             pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
         if stash_refs is not None:
             # identical values to what the recompute backward would
-            # rebuild, in the same (matmul) dtype — numerics unchanged
+            # rebuild, in the same (matmul) dtype — stash and recompute
+            # gradients match exactly. (In bf16 production mode both
+            # paths round pre-activations to bf16, a deliberate
+            # precision/VMEM trade vs the historical f32-residual
+            # recompute; the f32 exactness mode stashes f32.)
             stash_refs[li][:] = pre.astype(_MM_DTYPE[0]).reshape(
                 4, tile, pre.shape[-1]
             )
@@ -631,13 +635,23 @@ def dual_mlp_seg(
 # recomputing the forward per tile: backward drops from 3x to 2x forward
 # MXU work for ~2GB/step of extra (largely MXU-overlapped) HBM traffic
 # at the flagship shapes. Values and dtype match the recompute exactly,
-# so numerics are identical either way. The un-differentiated (eval)
-# path never stashes.
+# so numerics are identical either way (stash vs recompute; both store
+# pre-activations in the matmul dtype — in bf16 production mode that is
+# a deliberate precision/VMEM trade vs an all-f32 residual). The
+# un-differentiated (eval) path never stashes.
 _BWD_STASH = [True]
 
 
 class bwd_stash:
-    """Context manager toggling the stashed backward (A/B benches)."""
+    """Context manager toggling the stashed backward (A/B benches).
+
+    TRACE-TIME semantics (same as ``matmul_dtype``): the flag is read
+    when a grad program is *traced*, not when it runs. A jit cache
+    entry traced under one setting silently keeps that variant after
+    the flag changes — for honest A/B numbers, build fresh jitted
+    callables (or call ``.clear_cache()``) inside each ``bwd_stash``
+    scope rather than reusing one across toggles.
+    """
 
     def __init__(self, on: bool):
         self.on = on

@@ -76,6 +76,13 @@ def _inverse_cdf(dists: Array, cdf: Array, u: Array) -> Array:
     d-increment once u passes them, which is precisely the
     searchsorted(side='right') behaviour).
 
+    PRECONDITION: every CDF bin must carry non-negligible mass (>> the
+    1e-12 guard). ``sample_pdf`` guarantees this via its +1e-2 weight
+    floor. For bins narrower than the reference's 1e-5 denominator
+    guard the clipped ramp here interpolates *through* the bin while
+    the reference collapses to its left edge — a caller with unfloored
+    weights would silently diverge from the reference in those bins.
+
     Args:
         dists: [B, S] ascending distances.
         cdf: [B, S] ascending CDF with cdf[:, 0] == 0, cdf[:, -1] == 1.

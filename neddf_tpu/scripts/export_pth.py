@@ -53,10 +53,27 @@ def main() -> None:
         ckpt = models / f"model_{args.epoch:05}.ckpt"
     else:
         ckpts = sorted(models.glob("model_*.ckpt"))
-        if not ckpts:
-            raise FileNotFoundError(f"no model_*.ckpt under {models}")
-        ckpt = ckpts[-1]
-    trainer.load_pretrained_model(ckpt)
+        if ckpts:
+            ckpt = ckpts[-1]
+        else:
+            # async (orbax) run dirs store step DIRECTORIES, not msgpack
+            # files; pick the newest step and synthesize the file name
+            # the loader's orbax fallback resolves
+            steps = sorted(
+                int(p.name) for p in models.iterdir() if p.name.isdigit()
+            ) if models.is_dir() else []
+            if not steps:
+                raise FileNotFoundError(
+                    f"no model_*.ckpt files or orbax step dirs under {models}"
+                )
+            ckpt = models / f"model_{steps[-1]:05}.ckpt"
+    if ckpt.exists():
+        trainer.load_pretrained_model(ckpt)
+    else:
+        # orbax step-directory layout (trainer.async_checkpoint=true):
+        # load_checkpoint probes models/ for digit dirs and restores the
+        # newest full state (params + opt + cameras)
+        trainer.load_checkpoint(ckpt)
 
     out = ckpt.with_suffix(".pth")
     export_torch_state_dict(trainer.params, trainer.neural_render, out)

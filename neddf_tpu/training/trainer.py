@@ -130,6 +130,25 @@ class BaseTrainer:
                 f"grad_accum={grad_accum} must divide batch_size={batch_size}"
             )
         self.grad_accum = int(grad_accum)
+        # guard the documented XLA failure regime: monolithic grad
+        # programs above 2048 rays miscompile (NaNs) or compile-OOM on
+        # current v5e toolchains (kernels/dual_mlp.py docstring). Keep
+        # every microbatch within the verified scale by auto-raising
+        # grad_accum to the smallest divisor of batch_size that does —
+        # numerically equivalent (see the grad_accum note above), so no
+        # user config can reach the bad program shape.
+        _MAX_MONOLITHIC_RAYS = 2048
+        if batch_size // self.grad_accum > _MAX_MONOLITHIC_RAYS:
+            need = self.grad_accum
+            while batch_size % need or batch_size // need > _MAX_MONOLITHIC_RAYS:
+                need += 1
+            print(
+                f"[trainer] batch_size={batch_size} with grad_accum="
+                f"{self.grad_accum} exceeds the verified {_MAX_MONOLITHIC_RAYS}"
+                f"-ray monolithic grad regime; raising grad_accum to {need} "
+                "(equivalent step; kernels/dual_mlp.py docstring)"
+            )
+            self.grad_accum = need
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
@@ -525,8 +544,15 @@ class NeRFTrainer(BaseTrainer):
             if steps:
                 from neddf_tpu.training.checkpoint import AsyncCheckpointer
 
+                # honor a step encoded in the requested file name
+                # (model_{N:05}.ckpt) when that step exists; else newest
+                try:
+                    want = int(path.stem.split("_")[-1])
+                except ValueError:
+                    want = None
+                step = want if want in steps else steps[-1]
                 mgr = AsyncCheckpointer(path.parent)
-                state = mgr.restore(steps[-1], template)
+                state = mgr.restore(step, template)
                 mgr.wait()
                 self._apply_checkpoint_state(state)
                 return

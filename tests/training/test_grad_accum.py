@@ -65,3 +65,24 @@ def test_grad_accum_validation():
     cfg["trainer"]["grad_accum"] = 5  # does not divide batch_size=16
     with pytest.raises(ValueError):
         config_lib.instantiate(cfg["trainer"], global_config=cfg)
+
+
+@pytest.mark.parametrize(
+    "batch,accum,expect",
+    [
+        (4096, 1, 2),   # documented miscompile regime -> auto-raised
+        (8192, 2, 4),   # partially-accumulated but still too big
+        (2048, 1, 1),   # verified boundary stays untouched
+        (4096, 4, 4),   # user already safe stays untouched
+        (6144, 1, 3),   # non-power-of-two: smallest dividing accum
+    ],
+)
+def test_large_batch_guard_auto_raises_grad_accum(batch, accum, expect):
+    """No config may reach the documented >2048-ray monolithic grad
+    miscompile (kernels/dual_mlp.py docstring): the trainer must raise
+    grad_accum until every microbatch is <= 2048 rays."""
+    cfg = tiny_config()
+    cfg["trainer"].update({"batch_size": batch, "grad_accum": accum})
+    tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    assert tr.grad_accum == expect
+    assert batch // tr.grad_accum <= 2048
