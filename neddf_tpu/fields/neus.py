@@ -18,7 +18,7 @@ Reference quirks preserved:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ from neddf_tpu.fields.base import (
     Schedule,
     linear_apply,
     linear_init_torch_default,
+    tp_gather,
 )
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.ops.activations import ACTIVATIONS
@@ -64,11 +65,15 @@ class NeuS(BaseField):
     #     Jacobian, where forward-mode wins.) Kept as a documented,
     #     tested alternative — mode choice is per-field, not global.
     normals: str = "reverse"
+    # shard_map tensor parallelism (see fields/base.py::tp_gather)
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "skips", tuple(self.skips))
 
     def _use_fused(self) -> bool:
+        if self.tp_axis is not None:
+            return False
         if self.fused == "on":
             return True
         if self.fused == "off":
@@ -76,6 +81,9 @@ class NeuS(BaseField):
         return jax.default_backend() == "tpu"
 
     def _use_dual_normals(self) -> bool:
+        if self.tp_axis is not None:
+            # TP requires the jnp reverse-mode trunk (no Pallas calls)
+            return False
         if self.normals == "dual":
             return True
         if self.normals == "reverse":
@@ -186,6 +194,7 @@ class NeuS(BaseField):
                 hx = embed_pos
                 for layer_id, layer in enumerate(params["layers_sdf"]):
                     hx = act(linear_apply(layer, hx))
+                    hx = tp_gather(hx, self.tp_axis, self.sdf_layer_width)
                     if layer_id in self.skips:
                         hx = jnp.concatenate([hx, embed_pos], axis=1)
                 return hx
@@ -197,6 +206,14 @@ class NeuS(BaseField):
             (_, sdf_feature), gradients = jax.value_and_grad(
                 sdf_sum, has_aux=True
             )(pos)
+            if self.tp_axis is not None:
+                # Under shard_map TP each device's reverse pass only
+                # accumulates the paths through ITS weight columns, times
+                # n (grad-inside-shard_map sums the per-device seeds);
+                # psum over the width shards / n reassembles the exact
+                # full-network normal on every device.
+                n = jax.lax.axis_size(self.tp_axis)
+                gradients = jax.lax.psum(gradients, self.tp_axis) / n
         sdf = sdf_feature[:, :1]
 
         embed_dir = positional_encoding(direction, self.embed_dir_rank)
@@ -218,8 +235,12 @@ class NeuS(BaseField):
             )[:m]
         else:
             hx = jnp.concatenate([pos, embed_dir, gradients, sdf_feature], axis=1)
-            for layer in params["layers_col"]:
+            n_col = len(params["layers_col"])
+            for i, layer in enumerate(params["layers_col"]):
                 hx = act(linear_apply(layer, hx))
+                # final layer is the (replicated) 3-channel output
+                if i < n_col - 1:
+                    hx = tp_gather(hx, self.tp_axis, self.col_layer_width)
             color = hx
 
         s10 = params["variance"] * 10.0

@@ -55,36 +55,67 @@ def _is_weight(path) -> bool:
     return any(getattr(k, "key", None) == "w" for k in path[-1:])
 
 
+def field_param_specs(params, model_size: int):
+    """PartitionSpec tree for tensor-parallel field params.
+
+    Column-parallel rule: 2-D weights [in, out] shard their out dim over
+    'model' when divisible; 1-D biases shard likewise; everything else
+    (1/3-wide heads, scalars) replicates. Must stay in lockstep with
+    ``shard_field_params`` — the shard_map TP step derives both its
+    in/out specs and its gradient rescaling from this tree."""
+
+    def spec(leaf):
+        if model_size > 1 and leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
+            return P(None, "model")
+        if model_size > 1 and leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map(spec, params)
+
+
 def shard_field_params(params, mesh: Mesh):
     """Tensor-parallel placement: weight out-dims and biases shard over
-    'model'; with model=1 this degenerates to replication. GSPMD derives
-    the activation all-gathers / reduce-scatters.
+    'model'; with model=1 this degenerates to replication. The TP train
+    step reassembles activations with explicit shard_map collectives
+    (fields/base.py::tp_gather) rather than GSPMD.
 
-    KNOWN TOOLCHAIN ISSUE (virtual CPU mesh, current jaxlib): with
-    model>1, the FULL multi-output NeDDF apply program is miscompiled by
-    the XLA CPU SPMD partitioner — Jacobian-derived outputs (density,
+    Why not GSPMD TP: on the virtual CPU mesh the XLA CPU SPMD
+    partitioner MISCOMPILES the full multi-output NeDDF apply program
+    under width-sharded weights — Jacobian-derived outputs (density,
     penalties) deterministically diverge while every component and the
     density-only program match to f32 roundoff (see
     tests/parallel/test_mesh.py::test_tp_full_apply_matches_density_only,
-    an xfail that flips when the toolchain fixes it). DP (model=1) is
-    verified bit-near end-to-end and is the right mesh for these
-    2.5MB-parameter models; treat model>1 as a compile/shape validation
-    path until that xfail flips."""
+    an xfail pinning the upstream bug). The shard_map path never invokes
+    the partitioner on the field program and is verified numerically
+    equal to the single-device step (test_tp_shard_map_*)."""
 
     model_size = mesh.shape["model"]
+    specs = field_param_specs(params, model_size)
+    return jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)), params, specs
+    )
 
-    def place(path, leaf):
-        del path
-        if leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
-            # w [in, out] -> column parallel
-            return jax.device_put(leaf, NamedSharding(mesh, P(None, "model")))
-        if leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
-            # bias [out]
-            return jax.device_put(leaf, NamedSharding(mesh, P("model")))
-        # small heads (1- or 3-wide) and scalars replicate
-        return jax.device_put(leaf, replicated(mesh))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+def _tp_renderer(renderer, axis: str = "model"):
+    """Shallow-copy the renderer with fields configured for shard_map TP:
+    fused kernels off (a Pallas call can't consume width shards) and
+    ``tp_axis`` set so the jnp layer loops insert the all-gathers."""
+    import copy
+    import dataclasses
+
+    shared = renderer.network_coarse is renderer.network_fine
+    renderer = copy.copy(renderer)
+    renderer.network_fine = dataclasses.replace(
+        renderer.network_fine, fused="off", tp_axis=axis
+    )
+    if shared:
+        renderer.network_coarse = renderer.network_fine
+    else:
+        renderer.network_coarse = dataclasses.replace(
+            renderer.network_coarse, fused="off", tp_axis=axis
+        )
+    return renderer
 
 
 def make_sharded_train_step(
@@ -212,34 +243,57 @@ def make_sharded_train_step(
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
-    # ---- GSPMD: TP width sharding + derived collectives ----------------
-    # the SPMD partitioner cannot split Pallas custom calls, so force the
-    # cleanly-partitionable jnp dual path for width-sharded fields — on a
-    # shallow COPY so the caller's renderer keeps its fused kernels for
-    # other uses (single-device render, DP steps)
-    import copy
-    import dataclasses
-
-    shared = renderer.network_coarse is renderer.network_fine
-    renderer = copy.copy(renderer)
-    if getattr(renderer.network_fine, "fused", "off") != "off":
-        renderer.network_fine = dataclasses.replace(
-            renderer.network_fine, fused="off"
-        )
-    if shared:
-        renderer.network_coarse = renderer.network_fine
-    elif getattr(renderer.network_coarse, "fused", "off") != "off":
-        renderer.network_coarse = dataclasses.replace(
-            renderer.network_coarse, fused="off"
-        )
+    # ---- shard_map TP: explicit width-shard collectives ----------------
+    # Each 'model'-axis device holds a column shard of the trunk weights;
+    # the field's jnp path all-gathers activations back to full width
+    # after every sharded layer (fields/base.py::tp_gather). Rays shard
+    # over 'data' exactly as in the DP regime. This never hands the field
+    # program to the GSPMD partitioner — bypassing its documented CPU
+    # miscompile (see shard_field_params) — and its per-device programs
+    # are ordinary single-device XLA.
+    renderer = _tp_renderer(renderer)
 
     def train_step(params, opt_state, camera_deltas, rgb_images,
                    mask_images, camera_initials, key, camera_id, iteration):
-        (loss, mse), grads = local_loss(
-            params, camera_deltas, rgb_images, mask_images,
-            camera_initials, key, camera_id, iteration, batch_size,
-            shard_rays=True,
-        )
+        # spec tree from the GLOBAL param shapes (available at trace
+        # time); must match the placement rule of shard_field_params
+        param_specs = field_param_specs(params, n_model)
+
+        def per_device_tp(params_local, camera_deltas, rgb_images,
+                          mask_images, camera_initials, key, camera_id,
+                          iteration):
+            shard = jax.lax.axis_index("data") * local_batch
+            (loss, mse), grads = local_loss(
+                params_local, camera_deltas, rgb_images, mask_images,
+                camera_initials, key, camera_id, iteration, local_batch,
+                ray_slice=shard,
+            )
+            # Grad-inside-shard_map computes d(sum over devices of
+            # loss_j)/d(input_i). Every model-row device computes the
+            # SAME loss from the gathered activations, so a
+            # column-sharded leaf (consumed by all row devices through
+            # the all_gather) comes back scaled by n_model, while a
+            # replicated head leaf (consumed only by its own device's
+            # loss) is exact. Undo the factor spec-wise; n_model is a
+            # power of two so the division is exact.
+            grads = jax.tree_util.tree_map(
+                lambda g, s: g / n_model if s != P() else g,
+                grads, param_specs,
+            )
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            mse = jax.lax.pmean(mse, "data")
+            return loss, mse, grads
+
+        rep = P()
+        loss, mse, grads = jax.shard_map(
+            per_device_tp,
+            mesh=mesh,
+            in_specs=(param_specs,) + (rep,) * 7,
+            out_specs=(rep, rep, param_specs),
+            check_vma=False,
+        )(params, camera_deltas, rgb_images, mask_images,
+          camera_initials, key, camera_id, iteration)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, mse
@@ -248,20 +302,60 @@ def make_sharded_train_step(
 
 
 def make_sharded_render(renderer, calib, mesh: Mesh):
-    """Eval-time renderer: pixel chunks shard over the FULL mesh (both
-    axes) and the rendered tile returns fully replicated per host — the
-    'all-gather of rendered tiles' from BASELINE.json falls out of the
-    output sharding."""
+    """Eval-time renderer returning fully-replicated tiles — the
+    'all-gather of rendered tiles' from BASELINE.json.
 
-    every = NamedSharding(mesh, P(("data", "model")))
+    model == 1: pixel chunks shard over the full mesh under GSPMD (pure
+    DP partitions cleanly; verified bit-near vs single device). model >
+    1: shard_map — pixels shard over 'data', the model axis runs the
+    explicit-collective TP apply (see make_sharded_train_step), and the
+    output replicates; keeps the field program away from the GSPMD
+    partitioner's documented CPU TP miscompile."""
+
+    n_model = mesh.shape["model"]
+    if n_model == 1:
+        every = NamedSharding(mesh, P(("data", "model")))
+
+        def render(params, pose_r, pose_t, uv, key):
+            uv = jax.lax.with_sharding_constraint(uv, every)
+            out = renderer.render_rays(params, calib, pose_r, pose_t, uv, key, -1)
+            return {
+                k: jax.lax.with_sharding_constraint(v, replicated(mesh))
+                for k, v in out.items()
+                if k in ("color", "depth", "transmittance")
+            }
+
+        return jax.jit(render)
+
+    tp_r = _tp_renderer(renderer)
+    n_data = mesh.shape["data"]
 
     def render(params, pose_r, pose_t, uv, key):
-        uv = jax.lax.with_sharding_constraint(uv, every)
-        out = renderer.render_rays(params, calib, pose_r, pose_t, uv, key, -1)
+        param_specs = field_param_specs(params, n_model)
+        if uv.shape[0] % n_data:
+            raise ValueError(
+                f"uv rows {uv.shape[0]} not divisible by data={n_data}"
+            )
+
+        def per_device(params_local, pose_r, pose_t, uv_local, key):
+            out = tp_r.render_rays(
+                params_local, calib, pose_r, pose_t, uv_local, key, -1
+            )
+            return {
+                k: v for k, v in out.items()
+                if k in ("color", "depth", "transmittance")
+            }
+
+        out = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(param_specs, P(), P(), P("data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params, pose_r, pose_t, uv, key)
         return {
             k: jax.lax.with_sharding_constraint(v, replicated(mesh))
             for k, v in out.items()
-            if k in ("color", "depth", "transmittance")
         }
 
     return jax.jit(render)

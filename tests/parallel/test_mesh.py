@@ -81,6 +81,50 @@ def test_sharded_train_step_runs(model, key):
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
 
 
+SMALL_NERF = {
+    "_target_": "neddf_tpu.fields.NeRF",
+    "embed_pos_rank": 4,
+    "embed_dir_rank": 2,
+    "layer_count": 4,
+    "layer_width": 16,
+    "skips": [1],
+}
+
+SMALL_NEUS = {
+    "_target_": "neddf_tpu.fields.NeuS",
+    "embed_pos_rank": 3,
+    "embed_dir_rank": 2,
+    "sdf_layer_count": 4,
+    "sdf_layer_width": 16,
+    "col_layer_count": 3,
+    "col_layer_width": 16,
+    "skips": [1],
+}
+
+
+def _run_one_step(renderer, losses, mesh, key):
+    """One sharded train step; returns (loss, mse, updated params host tree)."""
+    tx = optax.adam(1e-3)
+    h = w = 8
+    # fresh init per run: the jitted step donates its params buffers,
+    # so each mesh needs its own copies
+    params = shard_field_params(renderer.init(key), mesh)
+    calib = PinholeCalib(
+        jax.device_put(jnp.array([10.0, 10.0, 4.0, 4.0]), replicated(mesh))
+    )
+    rgb = jax.device_put(jnp.ones((1, h, w, 3)) * 128, replicated(mesh))
+    mask = jax.device_put(jnp.ones((1, h, w)) * 255, replicated(mesh))
+    ci = jax.device_put(jnp.zeros((1, 6)).at[:, 5].set(4.0), replicated(mesh))
+    cd = jax.device_put(jnp.zeros((1, 6)), replicated(mesh))
+    step = make_sharded_train_step(
+        renderer, losses, calib, mesh, tx, batch_size=8, image_height=h, image_width=w
+    )
+    params2, _, loss, mse = step(
+        params, tx.init(params), cd, rgb, mask, ci, key, jnp.int32(0), jnp.int32(0)
+    )
+    return float(loss), float(mse), jax.device_get(params2)
+
+
 def test_sharded_matches_single_device(key):
     """DP-sharded step must produce the same numbers as an unsharded run
     (determinism across mesh shapes)."""
@@ -88,33 +132,77 @@ def test_sharded_matches_single_device(key):
         network_config=SMALL_NEDDF, sample_coarse=4, sample_fine=4,
         use_coarse_network=False,
     )
-    tx = optax.adam(1e-3)
     losses = [ColorLoss(), FieldsConstraintLoss(0.01)]
-    h = w = 8
-
-    def run(mesh):
-        # fresh init per run: the jitted step donates its params buffers,
-        # so each mesh needs its own copies
-        params = shard_field_params(renderer.init(key), mesh)
-        calib = PinholeCalib(
-            jax.device_put(jnp.array([10.0, 10.0, 4.0, 4.0]), replicated(mesh))
-        )
-        rgb = jax.device_put(jnp.ones((1, h, w, 3)) * 128, replicated(mesh))
-        mask = jax.device_put(jnp.ones((1, h, w)) * 255, replicated(mesh))
-        ci = jax.device_put(jnp.zeros((1, 6)).at[:, 5].set(4.0), replicated(mesh))
-        cd = jax.device_put(jnp.zeros((1, 6)), replicated(mesh))
-        step = make_sharded_train_step(
-            renderer, losses, calib, mesh, tx, batch_size=8, image_height=h, image_width=w
-        )
-        _, _, loss, mse = step(
-            params, tx.init(params), cd, rgb, mask, ci, key, jnp.int32(0), jnp.int32(0)
-        )
-        return float(loss), float(mse)
-
-    loss8, mse8 = run(make_mesh(8))
-    loss1, mse1 = run(make_mesh(1))
+    loss8, mse8, _ = _run_one_step(renderer, losses, make_mesh(8), key)
+    loss1, mse1, _ = _run_one_step(renderer, losses, make_mesh(1), key)
     assert loss8 == pytest.approx(loss1, rel=1e-4)
     assert mse8 == pytest.approx(mse1, rel=1e-4)
+
+
+@pytest.mark.parametrize(
+    "net_cfg,losses",
+    [
+        (SMALL_NEDDF, "neddf"),
+        (SMALL_NERF, "plain"),
+        (SMALL_NEUS, "plain"),
+    ],
+    ids=["neddf", "nerf", "neus"],
+)
+@pytest.mark.parametrize("model", [2, 4])
+def test_tp_shard_map_step_matches_single_device(net_cfg, losses, model, key):
+    """Tensor-parallel (shard_map, explicit width-shard collectives)
+    train step == unsharded single-device step: loss, mse AND the
+    updated parameters. This is the numeric TP guarantee the GSPMD
+    route cannot give on this substrate (see the xfail below); it also
+    pins the grad-inside-shard_map rescaling in parallel/mesh.py."""
+    renderer = NeRFRender(
+        network_config=net_cfg, sample_coarse=4, sample_fine=4,
+        use_coarse_network=False,
+    )
+    loss_fns = (
+        [ColorLoss(), FieldsConstraintLoss(0.01)]
+        if losses == "neddf" else [ColorLoss()]
+    )
+    loss_tp, mse_tp, params_tp = _run_one_step(
+        renderer, loss_fns, make_mesh(8, model=model), key
+    )
+    loss_1, mse_1, params_1 = _run_one_step(renderer, loss_fns, make_mesh(1), key)
+    assert loss_tp == pytest.approx(loss_1, rel=1e-4)
+    assert mse_tp == pytest.approx(mse_1, rel=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_tp), jax.tree_util.tree_leaves(params_1)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_tp_shard_map_render_matches_single_device(key):
+    """TP (model=2) shard_map eval render == unsharded pixels."""
+    mesh = make_mesh(8, model=2)
+    renderer, params, calib = _setup(mesh, key)
+    render = make_sharded_render(renderer, calib, mesh)
+    r = jnp.eye(3)
+    t = jnp.array([0.0, 0.0, 4.0])
+    uv = jnp.stack(
+        [jnp.arange(16, dtype=jnp.int32) % 8,
+         jnp.arange(16, dtype=jnp.int32) // 2 % 8], axis=1
+    )
+    out = render(params, r, t, uv, key)
+    assert out["color"].sharding.is_fully_replicated
+
+    params_local = jax.device_get(params)
+    ref = renderer.render_rays(
+        jax.tree_util.tree_map(jnp.asarray, params_local),
+        PinholeCalib(jnp.array([10.0, 10.0, 4.0, 4.0])),
+        r, t, uv, key, -1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["color"]), np.asarray(ref["color"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_sharded_render_replicates_tiles(key):
