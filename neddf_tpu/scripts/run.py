@@ -3,6 +3,7 @@
 Usage:
     python -m neddf_tpu.scripts.run [group=name ...] [a.b.c=value ...]
     python -m neddf_tpu.scripts.run --resume <run_dir>
+    python -m neddf_tpu.scripts.run --watchdog [secs] [overrides ...]
 
 Composes config/config.yaml with Hydra-style overrides, creates a run
 directory outputs/{date}/{time}, snapshots .hydra/ for later eval
@@ -12,6 +13,12 @@ recomposition, and trains. Seed 3408 honored like the reference.
 the newest models/model_*.ckpt (full state: params + optimizer +
 iteration + camera deltas — a capability the reference lacks, its .pth
 holds weights only) and continues training in the same directory.
+
+``--watchdog [secs]`` (default 600) supervises training in a child
+process and auto-recovers the known TPU-tunnel stall: if the run dir
+sees no writes for ``secs`` while the child lives, the child is killed
+by pid and training resumes from the newest checkpoint
+(training/watchdog.py). Composable with --resume.
 """
 from __future__ import annotations
 
@@ -48,8 +55,53 @@ def _resume(run_dir: Path) -> None:
     trainer.run_train()
 
 
+def _supervised(argv, stale_seconds: float) -> None:
+    """--watchdog: run training as a monitored child with auto-resume."""
+    import datetime as _dt
+
+    from neddf_tpu.training.watchdog import supervise
+
+    repo_root = Path(__file__).resolve().parents[2]
+    if argv and argv[0] == "--resume":
+        run_dir = Path(argv[1]).resolve()
+        first_cmd = [sys.executable, "-m", "neddf_tpu.scripts.run",
+                     "--resume", str(run_dir)]
+    else:
+        # pin the run dir so every incarnation shares it
+        run_dir = None
+        rest = []
+        for ov in argv:
+            if ov.startswith("hydra.run.dir="):
+                run_dir = Path(ov.split("=", 1)[1]).resolve()
+            else:
+                rest.append(ov)
+        if run_dir is None:
+            now = _dt.datetime.now()
+            run_dir = (repo_root / "outputs" / now.strftime("%Y-%m-%d")
+                       / now.strftime("%H-%M-%S"))
+        first_cmd = [sys.executable, "-m", "neddf_tpu.scripts.run",
+                     f"hydra.run.dir={run_dir}", *rest]
+
+    def build_cmd(resume: bool):
+        if resume:
+            return [sys.executable, "-m", "neddf_tpu.scripts.run",
+                    "--resume", str(run_dir)]
+        return first_cmd
+
+    raise SystemExit(supervise(build_cmd, run_dir, stale_seconds))
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "--watchdog":
+        argv = argv[1:]
+        stale = 600.0
+        if argv and argv[0].replace(".", "", 1).isdigit():
+            stale = float(argv[0])
+            argv = argv[1:]
+        _supervised(argv, stale)
+        return
 
     if argv and argv[0] == "--resume":
         _resume(Path(argv[1]))

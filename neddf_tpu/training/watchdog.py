@@ -1,0 +1,144 @@
+"""Run-directory stall watchdog + auto-resume supervisor.
+
+The failure mode this automates (observed once at epoch 748/2000 of a
+2000-epoch TPU run): a lost tunnel request leaves a jax future
+unfulfilled — the training process stays alive in a futex wait, no
+TensorBoard writes, no progress, forever. The reference has no recovery
+story at all (SURVEY §5.3: restart-by-hand from periodic checkpoints);
+here recovery is automated end to end:
+
+    python -m neddf_tpu.scripts.run --watchdog 600 trainer=...
+
+runs training as a SUPERVISED subprocess. The supervisor polls the run
+directory's newest write time (TB event files under log/, checkpoints
+under models/); if nothing has been written for ``stale_seconds`` while
+the child is still alive, the child's process group is killed BY PID
+(never by name/pattern) and training restarts with ``--resume
+<run_dir>``, which reloads the newest full-state checkpoint (params +
+optimizer + iteration + camera deltas). Bounded by ``max_restarts``.
+
+An in-process watchdog thread cannot do this: the hung thread holds the
+TPU client, and only process death releases the exclusive tunnel.
+"""
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import time
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+
+def newest_write_mtime(run_dir: Path) -> float:
+    """Newest mtime over the run dir's progress artifacts.
+
+    Scans log/ (TensorBoard event files are appended every
+    log_interval steps) and models/ (checkpoints), plus top-level
+    files. Returns 0.0 if nothing exists yet.
+    """
+    run_dir = Path(run_dir)
+    latest = 0.0
+    for sub in ("log", "models"):
+        d = run_dir / sub
+        if d.is_dir():
+            for p in d.rglob("*"):
+                try:
+                    latest = max(latest, p.stat().st_mtime)
+                except OSError:
+                    pass
+    if run_dir.is_dir():
+        for p in run_dir.iterdir():
+            try:
+                latest = max(latest, p.stat().st_mtime)
+            except OSError:
+                pass
+    return latest
+
+
+def _kill_child(child: "subprocess.Popen") -> None:
+    """SIGKILL the child's process group (it was started in its own
+    session) and reap it. Kills strictly by pid — never by pattern."""
+    try:
+        os.killpg(child.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        try:
+            child.kill()
+        except ProcessLookupError:
+            pass
+    try:
+        child.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def supervise(
+    build_cmd: Callable[[bool], Sequence[str]],
+    run_dir: Path,
+    stale_seconds: float = 600.0,
+    poll_seconds: float = 10.0,
+    max_restarts: int = 10,
+    grace_seconds: float = 5.0,
+) -> int:
+    """Run ``build_cmd(resume)`` under stall supervision.
+
+    Args:
+        build_cmd: returns the child argv; called with resume=False for
+            the first launch and resume=True for every relaunch.
+        run_dir: directory whose write activity signals liveness.
+        stale_seconds: kill the child after this long with no run-dir
+            writes (keep comfortably above one epoch + one compile).
+        poll_seconds: staleness check interval.
+        max_restarts: give up (re-raising failure) after this many
+            kills/crashes.
+        grace_seconds: pause after a kill so the exclusive TPU tunnel
+            is released before the resume process starts.
+
+    Returns the child's exit code (0) on clean completion.
+    """
+    run_dir = Path(run_dir)
+    restarts = 0
+    resume = False
+    while True:
+        cmd: List[str] = list(build_cmd(resume))
+        start = time.time()
+        child = subprocess.Popen(cmd, start_new_session=True)
+        stalled = False
+        try:
+            while True:
+                try:
+                    rc: Optional[int] = child.wait(timeout=poll_seconds)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                last = max(newest_write_mtime(run_dir), start)
+                age = time.time() - last
+                if age > stale_seconds:
+                    print(
+                        f"[watchdog] no run-dir writes for {age:.0f}s "
+                        f"(> {stale_seconds:.0f}s); killing pid {child.pid}",
+                        flush=True,
+                    )
+                    _kill_child(child)
+                    stalled = True
+                    rc = None
+                    break
+        finally:
+            if child.poll() is None:
+                _kill_child(child)
+        if not stalled and rc == 0:
+            return 0
+        restarts += 1
+        if restarts > max_restarts:
+            raise RuntimeError(
+                f"[watchdog] giving up after {max_restarts} restarts "
+                f"(last: {'stall' if stalled else f'exit {rc}'})"
+            )
+        reason = "stall" if stalled else f"exit code {rc}"
+        print(
+            f"[watchdog] {reason}; restarting with --resume "
+            f"({restarts}/{max_restarts})",
+            flush=True,
+        )
+        time.sleep(grace_seconds)
+        resume = True

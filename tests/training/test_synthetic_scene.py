@@ -58,3 +58,30 @@ def test_test_split_renders(sphere_dir, tmp_path):
         use_mask=True,
     )
     assert len(ds) == 1
+
+
+def test_machine_scene_generates_and_parses(tmp_path):
+    """The nerf_synthetic validation proxy: multi-object, textured,
+    shadowed, lego-convention cameras (data/synthetic.py)."""
+    from neddf_tpu.data import NeRFSyntheticDataset
+    from neddf_tpu.data.synthetic import generate_machine_dataset
+
+    d = generate_machine_dataset(
+        tmp_path / "machine", n_train=3, n_test=1, image_size=96
+    )
+    ds = NeRFSyntheticDataset(
+        dataset_dir=str(d), data_split="train", use_depth=False, use_mask=True
+    )
+    assert len(ds) == 3
+    assert ds.rgb_images.shape == (3, 96, 96, 3)
+    cover = (ds.mask_images > 0).mean()
+    # the machine + plate fill a substantial but partial view
+    assert 0.05 < cover < 0.9
+    # textured multi-object content: many distinct colors on the object
+    hits = ds.rgb_images[ds.mask_images > 0]
+    assert np.unique((hits // 32).astype(np.int32), axis=0).shape[0] > 20
+    # lego camera intrinsics convention
+    import json
+
+    meta = json.load(open(d / "transforms_train.json"))
+    assert abs(meta["camera_angle_x"] - 0.6911112) < 1e-6
