@@ -72,6 +72,17 @@ def _kill_child(child: "subprocess.Popen") -> None:
         pass
 
 
+def has_checkpoint(run_dir: Path) -> bool:
+    """True when models/ holds a restorable checkpoint (msgpack file or
+    orbax step directory)."""
+    models = Path(run_dir) / "models"
+    if not models.is_dir():
+        return False
+    return any(models.glob("model_*.ckpt")) or any(
+        p.name.isdigit() for p in models.iterdir()
+    )
+
+
 def supervise(
     build_cmd: Callable[[bool], Sequence[str]],
     run_dir: Path,
@@ -79,6 +90,7 @@ def supervise(
     poll_seconds: float = 10.0,
     max_restarts: int = 10,
     grace_seconds: float = 5.0,
+    startup_grace_seconds: Optional[float] = None,
 ) -> int:
     """Run ``build_cmd(resume)`` under stall supervision.
 
@@ -87,19 +99,30 @@ def supervise(
             the first launch and resume=True for every relaunch.
         run_dir: directory whose write activity signals liveness.
         stale_seconds: kill the child after this long with no run-dir
-            writes (keep comfortably above one epoch + one compile).
+            writes (keep comfortably above one epoch; TB events are
+            appended every log_interval steps once training runs).
         poll_seconds: staleness check interval.
         max_restarts: give up (re-raising failure) after this many
             kills/crashes.
         grace_seconds: pause after a kill so the exclusive TPU tunnel
             is released before the resume process starts.
+        startup_grace_seconds: staleness threshold used while THIS
+            incarnation has produced no writes yet — first-epoch XLA
+            compiles on a loaded host can exceed stale_seconds without
+            being hung. Default 3x stale_seconds.
+
+    A kill/crash only restarts with resume once a checkpoint actually
+    exists in the run dir; earlier incarnations restart fresh (resuming
+    an empty models/ is a guaranteed crash loop).
 
     Returns the child's exit code (0) on clean completion.
     """
     run_dir = Path(run_dir)
+    if startup_grace_seconds is None:
+        startup_grace_seconds = 3.0 * stale_seconds
     restarts = 0
-    resume = False
     while True:
+        resume = has_checkpoint(run_dir)
         cmd: List[str] = list(build_cmd(resume))
         start = time.time()
         child = subprocess.Popen(cmd, start_new_session=True)
@@ -111,12 +134,19 @@ def supervise(
                     break
                 except subprocess.TimeoutExpired:
                     pass
-                last = max(newest_write_mtime(run_dir), start)
-                age = time.time() - last
-                if age > stale_seconds:
+                last = newest_write_mtime(run_dir)
+                if last <= start:
+                    # nothing written by this incarnation yet: it is
+                    # compiling/loading — use the generous threshold
+                    age = time.time() - start
+                    limit = startup_grace_seconds
+                else:
+                    age = time.time() - last
+                    limit = stale_seconds
+                if age > limit:
                     print(
                         f"[watchdog] no run-dir writes for {age:.0f}s "
-                        f"(> {stale_seconds:.0f}s); killing pid {child.pid}",
+                        f"(> {limit:.0f}s); killing pid {child.pid}",
                         flush=True,
                     )
                     _kill_child(child)
@@ -135,10 +165,10 @@ def supervise(
                 f"(last: {'stall' if stalled else f'exit {rc}'})"
             )
         reason = "stall" if stalled else f"exit code {rc}"
+        nxt = "--resume" if has_checkpoint(run_dir) else "a fresh start"
         print(
-            f"[watchdog] {reason}; restarting with --resume "
+            f"[watchdog] {reason}; restarting with {nxt} "
             f"({restarts}/{max_restarts})",
             flush=True,
         )
         time.sleep(grace_seconds)
-        resume = True
