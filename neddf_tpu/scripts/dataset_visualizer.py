@@ -122,15 +122,15 @@ def main() -> None:
 
     if gui:
         try:
-            import open3d as o3d
+            import open3d  # noqa: F401
         except ImportError:
             print("open3d is not installed; headless artifacts were written instead")
             return
-        ls = o3d.geometry.LineSet(
-            o3d.utility.Vector3dVector(points),
-            o3d.utility.Vector2iVector(np.asarray(all_lines)),
-        )
-        o3d.visualization.draw_geometries([ls])
+        # full reference-parity GUI: pyramids + textured image planes +
+        # visible-range toggles (viz/gui.py)
+        from neddf_tpu.viz.gui import DatasetVisualizerGUI, run_app
+
+        run_app(lambda: DatasetVisualizerGUI(dataset))
 
 
 if __name__ == "__main__":

@@ -162,31 +162,21 @@ def main() -> None:
 
     if args.gui:
         try:
-            import open3d as o3d  # noqa: F401
+            import open3d  # noqa: F401
         except ImportError:
             print("open3d is not installed; headless artifacts were written instead")
             return
-        _run_gui(trainer, vertices, triangles)
+        # full reference-parity GUI (fields_visualizer.py:19-260): live
+        # movable slice plane, frusta + dataset images, bounding-box /
+        # visible-range toggles, re-meshing panel (viz/gui.py)
+        from neddf_tpu.viz.gui import FieldsVisualizerGUI, run_app
 
+        def mesh_fn(resolution, threshold):
+            return generate_mesh(
+                trainer, output_dir, resolution, threshold, field_name=field
+            )
 
-def _run_gui(trainer, vertices, triangles) -> None:  # pragma: no cover
-    """Interactive Open3D viewer (mesh + camera frusta), reference
-    fields_visualizer.py GUI analog. Only reachable when open3d exists."""
-    import open3d as o3d
-
-    mesh = o3d.geometry.TriangleMesh(
-        o3d.utility.Vector3dVector(vertices),
-        o3d.utility.Vector3iVector(triangles),
-    )
-    mesh.compute_vertex_normals()
-    # display-space axis remap (fields_visualizer.py:556-561)
-    transform = np.zeros((4, 4))
-    transform[0, 2] = -1.0
-    transform[1, 0] = -1.0
-    transform[2, 1] = 1.0
-    transform[3, 3] = 1.0
-    mesh.transform(transform)
-    o3d.visualization.draw_geometries([mesh])
+        run_app(lambda: FieldsVisualizerGUI(trainer, mesh_fn))
 
 
 if __name__ == "__main__":
