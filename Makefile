@@ -11,7 +11,8 @@ test-fast:
 	$(PYTHON) -m pytest tests/ops tests/kernels tests/viz -q
 
 lint:
-	$(PYTHON) -m compileall -q neddf_tpu tests bench.py __graft_entry__.py
+	$(PYTHON) -m compileall -q neddf_tpu tests tools bench.py __graft_entry__.py
+	$(PYTHON) tools/lint.py
 
 bench:
 	$(PYTHON) bench.py

@@ -15,6 +15,16 @@ throughput on one A100: ~512 rays / ~0.2 s per iteration = 2,560 rays/s
 matches the reference's intended 2000-epoch x 100-frame training runs
 taking ~days). The driver-defined north star is >= 2x A100 per
 BASELINE.json, so vs_baseline = value / (2 * 2560).
+
+MEASURED same-host anchor (2026-08-17, single-core VM, torch 1 thread):
+the reference's REAL train step (its NeRFRender/NeDDF modules driven
+directly at the flagship shapes — see BASELINE.md "Measured CPU
+baseline") does 4.81 rays/s on this host's CPU; our jax-CPU path does
+3.64 rays/s on the same core (0.76x — the plane-major/dual-tensor
+layout is a TPU design, and jax CPU is not a target). The one real
+cross-framework number: one v5e chip does ~4,500x the reference's
+same-host CPU throughput. The A100 estimate above remains an estimate;
+no GPU exists in this environment to measure it.
 """
 from __future__ import annotations
 
@@ -85,8 +95,12 @@ def main() -> None:
 
     def train_step(params, opt_state, key, iteration):
         k_u, k_v, k_render = jax.random.split(key, 3)
-        us = jnp.floor(jax.random.uniform(k_u, (BATCH_SIZE,)) * (w - 1)).astype(jnp.int32)
-        vs = jnp.floor(jax.random.uniform(k_v, (BATCH_SIZE,)) * (h - 1)).astype(jnp.int32)
+        us = jnp.floor(
+            jax.random.uniform(k_u, (BATCH_SIZE,)) * (w - 1)
+        ).astype(jnp.int32)
+        vs = jnp.floor(
+            jax.random.uniform(k_v, (BATCH_SIZE,)) * (h - 1)
+        ).astype(jnp.int32)
         uv = jnp.stack([us, vs], axis=1)
         targets = {
             "color": (1.0 / 256.0) * rgb[vs, us, :],
@@ -95,7 +109,9 @@ def main() -> None:
         }
 
         def loss_fn(p):
-            out = renderer.render_rays(p, calib, pose_r, pose_t, uv, k_render, iteration)
+            out = renderer.render_rays(
+                p, calib, pose_r, pose_t, uv, k_render, iteration
+            )
             total = 0.0
             for fn in losses:
                 total += sum(fn(out, targets).values())

@@ -43,7 +43,9 @@ class NeRFSyntheticDataset(BaseDataset):
         for frame in frames:
             transform_matrix = np.array(frame["transform_matrix"])
             camera_param = np.zeros(6, np.float32)
-            camera_param[:3] = Rotation.from_matrix(transform_matrix[:3, :3]).as_rotvec()
+            camera_param[:3] = Rotation.from_matrix(
+                transform_matrix[:3, :3]
+            ).as_rotvec()
             camera_param[3:] = transform_matrix[:3, 3]
             camera_params.append(camera_param)
 

@@ -137,7 +137,7 @@ class _Prim:
         self.color = np.asarray(color, np.float64)
         self.texture = texture  # fn(points [N,3]) -> [N,3] rgb multiplier
 
-    def shade(self, p):
+    def shade(self, p: np.ndarray) -> np.ndarray:
         c = np.broadcast_to(self.color, p.shape).copy()
         if self.texture is not None:
             c = c * self.texture(p)
@@ -150,7 +150,7 @@ class _Sphere(_Prim):
         self.c = np.asarray(center, np.float64)
         self.r = float(radius)
 
-    def intersect(self, o, d):
+    def intersect(self, o: np.ndarray, d: np.ndarray):
         oc = o - self.c
         b = 2.0 * np.sum(d * oc, axis=-1)
         c = np.sum(oc * oc, axis=-1) - self.r * self.r
@@ -170,7 +170,7 @@ class _Box(_Prim):
         self.lo = np.asarray(lo, np.float64)
         self.hi = np.asarray(hi, np.float64)
 
-    def intersect(self, o, d):
+    def intersect(self, o: np.ndarray, d: np.ndarray):
         inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
         t0 = (self.lo - o) * inv
         t1 = (self.hi - o) * inv
@@ -203,7 +203,7 @@ class _CylinderZ(_Prim):
         self.h = float(half_len)
         self.axis = int(axis)
 
-    def intersect(self, o, d):
+    def intersect(self, o: np.ndarray, d: np.ndarray):
         ax = self.axis
         other = [i for i in range(3) if i != ax]
         oc = o - self.c
@@ -297,7 +297,8 @@ def _machine_scene():
         # body + checkered deck
         _Box([-0.5, -0.3, -0.58], [0.4, 0.3, -0.28], yellow, _checker(10.0)),
         # cab with dark "window" stripe
-        _Box([-0.05, -0.22, -0.28], [0.35, 0.22, 0.12], yellow, _stripes(6.0, 2, 1.0, 0.35)),
+        _Box([-0.05, -0.22, -0.28], [0.35, 0.22, 0.12], yellow,
+             _stripes(6.0, 2, 1.0, 0.35)),
         # engine block
         _Box([-0.5, -0.2, -0.28], [-0.12, 0.2, -0.1], gray, _stripes(20.0, 1)),
         # boom: three slanted steps toward the front-low blade

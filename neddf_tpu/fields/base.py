@@ -37,7 +37,9 @@ class Schedule(NamedTuple):
     distance_range_max: Array
 
 
-def linear_init_xavier_normal(key: Array, fan_in: int, fan_out: int) -> Dict[str, Array]:
+def linear_init_xavier_normal(
+    key: Array, fan_in: int, fan_out: int
+) -> Dict[str, Array]:
     """Xavier-normal weight + zero bias, matching LinearGradLayer.reset_parameters
     (neddf/nn_module/with_grad/linear.py:113-116)."""
     std = float(np.sqrt(2.0 / (fan_in + fan_out)))
@@ -45,7 +47,9 @@ def linear_init_xavier_normal(key: Array, fan_in: int, fan_out: int) -> Dict[str
     return {"w": w, "b": jnp.zeros((fan_out,), dtype=jnp.float32)}
 
 
-def linear_init_torch_default(key: Array, fan_in: int, fan_out: int) -> Dict[str, Array]:
+def linear_init_torch_default(
+    key: Array, fan_in: int, fan_out: int
+) -> Dict[str, Array]:
     """PyTorch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == both
     weight and bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Used by the
     plain layers in NeRF/NeuS."""

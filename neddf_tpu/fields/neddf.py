@@ -32,7 +32,14 @@ from neddf_tpu.fields.base import (
     tp_gather,
 )
 from neddf_tpu.geometry.rays import Sampling
-from neddf_tpu.ops.activations import ACTIVATIONS, relu, sigmoid, sigmoid_deriv, softplus, softplus_deriv
+from neddf_tpu.ops.activations import (
+    ACTIVATIONS,
+    relu,
+    sigmoid,
+    sigmoid_deriv,
+    softplus,
+    softplus_deriv,
+)
 from neddf_tpu.ops.dual import (
     act_dual,
     dual_jacobian,
@@ -41,7 +48,12 @@ from neddf_tpu.ops.dual import (
     pe_dual,
     pe_dual_planes,
 )
-from neddf_tpu.ops.pe import pe_grad_scale, pe_lowpass_scale, pe_weights, positional_encoding
+from neddf_tpu.ops.pe import (
+    pe_grad_scale,
+    pe_lowpass_scale,
+    pe_weights,
+    positional_encoding,
+)
 
 Array = jax.Array
 
@@ -102,7 +114,11 @@ class NeDDF(BaseField):
 
     @property
     def input_col_dim(self) -> int:
-        return (self.embed_pos_rank + self.embed_dir_rank) * 6 + 3 + self.ddf_layer_width
+        return (
+            (self.embed_pos_rank + self.embed_dir_rank) * 6
+            + 3
+            + self.ddf_layer_width
+        )
 
     def init(self, key: Array):
         n_ddf = self.ddf_layer_count - 1

@@ -14,7 +14,7 @@ quirks preserved:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

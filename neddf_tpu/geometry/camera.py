@@ -13,7 +13,7 @@ Right-Up-Back; projection flips to Right-Down-Front via diag(1,-1,-1)
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

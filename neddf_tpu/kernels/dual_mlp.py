@@ -75,7 +75,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_M = 512  # samples per forward grid step (fastest in the v5e sweep; 1024 re-swept with stash: 21.5k vs 21.9k)
+# samples per forward grid step (fastest in the v5e sweep; 1024 re-swept
+# with stash: 21.5k vs 21.9k)
+TILE_M = 512
 # backward recomputes + stashes per-layer tensors in VMEM, so it uses a
 # smaller tile to stay under the ~16MB scoped-VMEM budget. In bf16
 # production mode the stash is bf16 (half the VMEM), which affords a
@@ -308,7 +310,9 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
 
     in_specs = _seg_specs(widths, has_j, TILE_M, c_out)
     for w in weights:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         in_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )
@@ -522,7 +526,9 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
 
     in_specs = _seg_specs(widths, has_j, tile, c_out)
     for w in weights:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         in_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )
@@ -547,7 +553,9 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
             )
             out_shape.append(jax.ShapeDtypeStruct((3, m, w), next(j_iter).dtype))
     for w in weights:
-        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         out_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )

@@ -140,7 +140,9 @@ def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret):
     c_out = weights[-1].shape[-1]
     in_specs = _specs(widths, TILE_M)
     for w in weights:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         in_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )
@@ -152,7 +154,9 @@ def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret):
         functools.partial(_fwd_kernel, layout, act_name, widths, odt),
         grid=(m // TILE_M,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((m, c_out), odt),
         interpret=interpret,
     )(*args)
@@ -165,7 +169,9 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
     c_out = weights[-1].shape[-1]
     in_specs = _specs(widths, tile)
     for w in weights:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         in_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )
@@ -178,7 +184,9 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
         jax.ShapeDtypeStruct((m, w), v.dtype) for w, v in zip(widths, vs)
     ]
     for w in weights:
-        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
         out_specs.append(
             pl.BlockSpec((w.shape[-1],), lambda i: (0,), memory_space=pltpu.VMEM)
         )

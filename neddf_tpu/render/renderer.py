@@ -19,7 +19,7 @@ fine dists sampled under stop_gradient (:161-166).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,9 @@ class NeRFRender:
         return params
 
     def _coarse_params(self, params):
-        return params["network_coarse"] if self.use_coarse_network else params["network_fine"]
+        if self.use_coarse_network:
+            return params["network_coarse"]
+        return params["network_fine"]
 
     # ---------------------------------------------------------- render_rays
     def render_rays(
@@ -134,7 +136,8 @@ class NeRFRender:
             need_aux=need_aux,
         )
         integrate_coarse = integrate_volume_render(
-            dists_coarse, values_coarse["density"], values_coarse["color"], self.max_dist
+            dists_coarse, values_coarse["density"], values_coarse["color"],
+            self.max_dist,
         )
         delta_coarse = jax.lax.stop_gradient(
             dists_coarse[:, 1:] - dists_coarse[:, :-1]
@@ -239,7 +242,10 @@ class NeRFRender:
             (gaps between kept samples span culled zero-density space,
             exactly as if the dense axis carried zeros there).
             """
-            pos = rays.ray_orig[:, None, :] + rays.ray_dir[:, None, :] * dists[..., None]
+            pos = (
+                rays.ray_orig[:, None, :]
+                + rays.ray_dir[:, None, :] * dists[..., None]
+            )
             occ = lookup(grid, pos)
             sel_dists, sel_idx = select_samples(dists, occ, budget)
             dense_deltas = dists[:, 1:] - dists[:, :-1]
@@ -377,7 +383,9 @@ class NeRFRender:
             if pad:
                 uv_chunk = np.pad(uv_chunk, ((0, pad), (0, 0)), mode="edge")
             key, sub = jax.random.split(key)
-            result = render_fn(params, calib, pose_r, pose_t, jnp.asarray(uv_chunk), sub)
+            result = render_fn(
+                params, calib, pose_r, pose_t, jnp.asarray(uv_chunk), sub
+            )
             pending.append({k: result[k] for k in target_types})
             sizes.append(above - below)
         fetched = jax.device_get(pending)

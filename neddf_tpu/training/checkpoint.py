@@ -17,7 +17,7 @@ transpose; plain nn.Linear stores [out, in] — transposed on import.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Union
+from typing import Any, Dict, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -78,7 +78,7 @@ class AsyncCheckpointer:
 
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
-    def latest_step(self):
+    def latest_step(self) -> Union[int, None]:
         if self._mgr is None:
             steps = sorted(
                 int(p.stem.split("_")[1]) for p in self.directory.glob("model_*.ckpt")
@@ -118,7 +118,8 @@ def _import_neddf(sd: Dict[str, Any], prefix: str, field: NeDDF) -> Dict[str, An
 def _import_nerf(sd: Dict[str, Any], prefix: str, field: NeRF) -> Dict[str, Any]:
     def torch_linear(name: str) -> Dict[str, jnp.ndarray]:
         return {
-            "w": jnp.asarray(_np(sd[f"{prefix}.{name}.weight"]).T),  # [out,in] -> [in,out]
+            # [out,in] -> [in,out]
+            "w": jnp.asarray(_np(sd[f"{prefix}.{name}.weight"]).T),
             "b": jnp.asarray(_np(sd[f"{prefix}.{name}.bias"])),
         }
 

@@ -30,7 +30,10 @@ class BaseLoss:
     def __call__(
         self, outputs: Dict[str, Array], targets: Dict[str, Array]
     ) -> Dict[str, Array]:
-        out = {self.key_loss: self.weight * self.loss(outputs[self.key_output], targets[self.key_target])}
+        out = {
+            self.key_loss: self.weight
+            * self.loss(outputs[self.key_output], targets[self.key_target])
+        }
         if self.weight_coarse > 0.0:
             out[f"{self.key_loss}_coarse"] = self.weight_coarse * self.loss(
                 outputs[f"{self.key_output}_coarse"], targets[self.key_target]

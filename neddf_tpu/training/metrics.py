@@ -24,7 +24,9 @@ def peak_signal_noise_ratio(
     return float(10.0 * np.log10((data_range ** 2) / mse))
 
 
-def _ssim_single(x: np.ndarray, y: np.ndarray, data_range: float, win_size: int) -> float:
+def _ssim_single(
+    x: np.ndarray, y: np.ndarray, data_range: float, win_size: int
+) -> float:
     x = x.astype(np.float64)
     y = y.astype(np.float64)
     ndim = x.ndim

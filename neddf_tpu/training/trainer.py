@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -220,7 +220,9 @@ class BaseTrainer:
             self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         self.params = jax.device_put(self.params, self.device)
 
-    def render_test(self, output_dir: Path, camera_id: int, downsampling: int = 1) -> None:
+    def render_test(
+        self, output_dir: Path, camera_id: int, downsampling: int = 1
+    ) -> None:
         import cv2
 
         rgb_gt = np.asarray(self.dataset[camera_id]["rgb_images"]).astype(np.uint8)
@@ -286,7 +288,10 @@ class NeRFTrainer(BaseTrainer):
         parts = []
         if self.optimizer_weight_decay:
             parts.append(optax.add_decayed_weights(self.optimizer_weight_decay))
-        parts += [optax.scale_by_adam(eps=1e-8), optax.scale_by_learning_rate(lr_schedule)]
+        parts += [
+            optax.scale_by_adam(eps=1e-8),
+            optax.scale_by_learning_rate(lr_schedule),
+        ]
         self.tx = optax.chain(*parts)
         with jax.default_device(self.device):
             self.opt_state = self.tx.init(self.params)

@@ -149,7 +149,10 @@ def marching_tetrahedra(
     f_lo = flat[u_lo]
     f_hi = flat[u_hi]
     denom = f_hi - f_lo
-    t = np.where(np.abs(denom) < 1e-12, 0.5, (level - f_lo) / np.where(denom == 0, 1, denom))
+    t = np.where(
+        np.abs(denom) < 1e-12, 0.5,
+        (level - f_lo) / np.where(denom == 0, 1, denom),
+    )
     t = np.clip(t, 0.0, 1.0)
 
     def unflatten(ids: np.ndarray) -> np.ndarray:

@@ -52,7 +52,8 @@ _DAE_TEMPLATE = """<?xml version="1.0" encoding="utf-8"?>
     <geometry id="{name}-mesh" name="{name}">
       <mesh>
         <source id="{name}-positions">
-          <float_array id="{name}-positions-array" count="{n_pos}">{positions}</float_array>
+          <float_array id="{name}-positions-array" count="{n_pos}">\
+{positions}</float_array>
           <technique_common>
             <accessor source="#{name}-positions-array" count="{n_verts}" stride="3">
               <param name="X" type="float"/>

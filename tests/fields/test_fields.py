@@ -35,7 +35,8 @@ def small_neddf():
 
 
 def test_nerf_output_contract(key, rng):
-    field = NeRF(embed_pos_rank=4, embed_dir_rank=2, layer_count=4, layer_width=32, skips=(1,))
+    field = NeRF(embed_pos_rank=4, embed_dir_rank=2, layer_count=4,
+                 layer_width=32, skips=(1,))
     params = field.init(key)
     s = make_sampling(rng)
     out = field.apply(params, s, field.schedule(-1))
@@ -110,7 +111,9 @@ def test_neddf_distance_grad_is_true_jacobian(key, rng, small_neddf):
     nabla = np.concatenate([grad_fd, aux], axis=-1)
     dddt = np.linalg.norm(nabla, axis=-1)
     dens_fd = np.maximum((1.0 / d[..., 0]) * (1.0 - dddt), 0.0)
-    np.testing.assert_allclose(np.asarray(out["density"]), dens_fd, rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["density"]), dens_fd, rtol=5e-2, atol=5e-3
+    )
 
 
 def test_neddf_trainable_end_to_end(key, rng, small_neddf):
@@ -149,7 +152,8 @@ def test_neus_gradients_finite(key, rng):
         return jnp.mean(jnp.square(out["density"])) + jnp.mean(out["color"])
 
     grads = jax.grad(loss_fn)(params)
-    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
 
 
 def test_neddf_schedule_warmups(small_neddf):

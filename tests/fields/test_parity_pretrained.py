@@ -55,7 +55,8 @@ def reference_net():
     net = TorchNeDDF(penalty_weight=PENALTY_WEIGHT, **NEDDF_KW)
     sd = torch.load(PTH, map_location="cpu")
     net.load_state_dict(
-        {k[len("network_fine."):]: v for k, v in sd.items() if k.startswith("network_fine.")}
+        {k[len("network_fine."):]: v for k, v in sd.items()
+         if k.startswith("network_fine.")}
     )
     net.eval()
     net.set_iter(-1)
@@ -64,7 +65,6 @@ def reference_net():
 
 @pytest.fixture(scope="module")
 def jax_setup():
-    from neddf_tpu.fields import NeDDF
     from neddf_tpu.render import NeRFRender
     from neddf_tpu.training.checkpoint import import_torch_state_dict
 
@@ -102,7 +102,8 @@ def test_field_outputs_match_reference(reference_net, jax_setup, rng):
     with torch.no_grad():
         ref = reference_net(
             TorchSampling(
-                torch.from_numpy(pos), torch.from_numpy(direction), torch.from_numpy(var)
+                torch.from_numpy(pos), torch.from_numpy(direction),
+                torch.from_numpy(var)
             )
         )
     # ours
@@ -148,7 +149,8 @@ def test_train_schedule_outputs_match_reference(reference_net, jax_setup, rng):
 
         ref = reference_net(
             TorchSampling(
-                torch.from_numpy(pos), torch.from_numpy(direction), torch.from_numpy(var)
+                torch.from_numpy(pos), torch.from_numpy(direction),
+                torch.from_numpy(var)
             )
         )
     out = field.apply(

@@ -132,7 +132,8 @@ def test_vjp_exact_f32(setup):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(v0, j0, weights, biases)
     for a, b, name in [(gk[0], gr[0], "dv0"), (gk[1], gr[1], "dj0")]:
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4 * float(jnp.abs(b).max()),
+            np.asarray(a), np.asarray(b), rtol=1e-4,
+            atol=1e-4 * float(jnp.abs(b).max()),
             err_msg=name,
         )
     for li, (dwk, dwr) in enumerate(zip(gk[2], gr[2])):

@@ -5,7 +5,6 @@ gradient check through the full output dict — the density depends on the
 trunk's Jacobian output, so this exercises reverse-over-forward through
 the kernel exactly as training does.
 """
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -4,10 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import neddf_tpu.kernels.mlp as kmlp
 from neddf_tpu.fields import NeRF
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.kernels.dual_mlp import matmul_dtype
-import neddf_tpu.kernels.mlp as kmlp
 
 KW = dict(embed_pos_rank=4, embed_dir_rank=2, layer_count=4, layer_width=32,
           skips=(1,))

@@ -66,12 +66,15 @@ def test_linear_dual_propagates_jacobian(rng):
     w = rng.standard_normal((5, 7)).astype(np.float32)
     b = rng.standard_normal(7).astype(np.float32)
 
-    d = linear_dual(pack_dual(jnp.asarray(x), jnp.asarray(j)), jnp.asarray(w), jnp.asarray(b))
+    d = linear_dual(pack_dual(jnp.asarray(x), jnp.asarray(j)),
+                    jnp.asarray(w), jnp.asarray(b))
     np.testing.assert_allclose(dual_value(d), x @ w + b, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(dual_jacobian(d), j @ w, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["ReLU", "LeakyReLU", "tanhExp", "Softplus", "Sigmoid"])
+@pytest.mark.parametrize(
+    "name", ["ReLU", "LeakyReLU", "tanhExp", "Softplus", "Sigmoid"]
+)
 def test_act_dual_chain_rule(name, rng):
     f, df = ACTIVATIONS[name]
     x = rng.standard_normal((16, 4)).astype(np.float32) * 2
@@ -84,7 +87,8 @@ def test_act_dual_chain_rule(name, rng):
     g_auto = jax.vmap(jax.vmap(jax.grad(lambda v: f(v))))(jnp.asarray(x))
     np.testing.assert_allclose(df(jnp.asarray(x)), g_auto, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
-        dual_jacobian(d), np.asarray(df(jnp.asarray(x)))[:, None, :] * j, rtol=1e-5, atol=1e-6
+        dual_jacobian(d), np.asarray(df(jnp.asarray(x)))[:, None, :] * j,
+        rtol=1e-5, atol=1e-6
     )
 
 

@@ -3,7 +3,6 @@
 This property underpins (a) bitwise mesh-shape invariance of the
 shard_map DP step (parallel/mesh.py) and (b) chunk-size invariance of
 eval renders (render_image)."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,7 +14,9 @@ def test_stratified_shard_invariant(key):
     full = stratified_dists(key, 64, 16, 2.0, 6.0, pixel_ids=pids)
     lo = stratified_dists(key, 32, 16, 2.0, 6.0, pixel_ids=pids[:32])
     hi = stratified_dists(key, 32, 16, 2.0, 6.0, pixel_ids=pids[32:])
-    np.testing.assert_array_equal(np.asarray(full), np.asarray(jnp.concatenate([lo, hi], 0)))
+    np.testing.assert_array_equal(
+        np.asarray(full), np.asarray(jnp.concatenate([lo, hi], 0))
+    )
 
 
 def test_sample_pdf_shard_invariant(key, rng):

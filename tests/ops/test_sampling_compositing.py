@@ -101,7 +101,9 @@ def test_integrate_matches_manual_cumprod(rng):
     dens = np.abs(rng.standard_normal((b, s)).astype(np.float32))
     cols = rng.uniform(0, 1, (b, s, 3)).astype(np.float32)
 
-    out = integrate_volume_render(jnp.asarray(dists), jnp.asarray(dens), jnp.asarray(cols), 6.0)
+    out = integrate_volume_render(
+        jnp.asarray(dists), jnp.asarray(dens), jnp.asarray(cols), 6.0
+    )
 
     deltas = dists[:, 1:] - dists[:, :-1]
     o = 1 - np.exp(-dens[:, :-1] * deltas)

@@ -57,7 +57,8 @@ def test_render_rays_nerf_keys_and_shapes(camera, key):
 
 
 def test_render_rays_neddf_penalty_integrals(camera, key):
-    renderer = _make_renderer(SMALL_NEDDF, use_coarse_network=False, sampling_type="cone")
+    renderer = _make_renderer(SMALL_NEDDF, use_coarse_network=False,
+                              sampling_type="cone")
     params = renderer.init(key)
     assert "network_coarse" not in params  # shared net
     calib, r, t = camera

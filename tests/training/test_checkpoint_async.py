@@ -37,7 +37,6 @@ def test_multiple_steps_latest(tmp_path):
 def test_trainer_async_checkpoint_roundtrip(tmp_path, monkeypatch):
     """trainer.async_checkpoint=true saves orbax step dirs and
     load_checkpoint restores from them via the synthetic latest path."""
-    import os
     from pathlib import Path
 
     from neddf_tpu import config as config_lib

@@ -6,7 +6,6 @@ per-ray-mean losses over equal-size microbatches averaging to the full
 batch mean. This pins both: one step with grad_accum=4 lands on the same
 parameters as grad_accum=1 up to f32 summation-order noise.
 """
-from pathlib import Path
 
 import jax
 import numpy as np
@@ -14,7 +13,6 @@ import pytest
 
 from neddf_tpu import config as config_lib
 
-from tests.conftest import REFERENCE_DATA as DATA_DIR
 from tests.training.test_trainer import tiny_config
 
 

@@ -29,8 +29,6 @@ def test_scalar_names_match_reference():
 
 
 def test_jsonl_fallback(tmp_path, monkeypatch):
-    import neddf_tpu.training.logger as logger_mod
-
     # force the fallback by making the TB import fail
     import builtins
 

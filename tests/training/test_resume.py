@@ -1,7 +1,6 @@
 """Mid-training resume: run_train skips completed epochs after
 load_checkpoint while keeping the camera-permutation RNG stream aligned
 with an uninterrupted run."""
-import numpy as np
 import pytest
 
 from neddf_tpu import config as config_lib

@@ -69,7 +69,8 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
     trainer.run_train_step(1)
     trainer.load_checkpoint(path)
     after = jax.device_get(trainer.params)
-    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, b)
 
 

