@@ -12,7 +12,13 @@ Functions. Parity-critical details preserved:
   (1/D) * (1 - ||[grad D, aux]||)) (neddf.py:220-240).
 * aux head: sigmoid scaled by the aux_grad_scale warmup.
 * color branch consumes [PE(pos), PE(dir), stop_grad(normalized grad D),
-  features] with Jacobian rows [PE_J, 0, features_J] (neddf.py:243-257).
+  features] (neddf.py:243-257). Where the reference carries the FULL
+  3-plane color Jacobian only to contract it with sg(grad D) inside
+  constraints_color (neddf.py:263-265), this implementation contracts
+  at the SEED and propagates a single directional tangent (K=1 JVP
+  along sg(grad D)) — identical math (the tangent path is linear; see
+  tests/fields/test_neddf_directional_color.py for the value+grad
+  equivalence proof), half the color-trunk streams.
 * six field-constraint penalties with the reference's stop_gradient
   placements and its quirk that a penalty key missing from
   penalty_weight enters the sum UNWEIGHTED (neddf.py:296-300).
@@ -46,6 +52,7 @@ from neddf_tpu.ops.dual import (
     dual_value,
     linear_dual,
     pe_dual,
+    pe_dual_directional,
     pe_dual_planes,
 )
 from neddf_tpu.ops.pe import (
@@ -272,17 +279,24 @@ class NeDDF(BaseField):
                 params, cast(emb_v), cast(emb_j)
             )
 
-            def head_planes(name):
-                w, b = cast(params[name]["w"]), cast(params[name]["b"])
-                hv = (v_feat @ w + b).astype(jnp.float32)  # [M, 1]
-                # keep the tangent in PLANE layout [3, M] — [3,M]<->[M,3]
-                # relayouts are sublane shuffles that cost real time at
-                # these shapes on TPU
-                hj_p = (j_feat @ w)[:, :, 0].astype(jnp.float32)  # [3, M]
-                return hv, hj_p
-
-            ddf_out, ddf_jac_p = head_planes("layer_ddf_out")
-            aux_out, aux_jac_p = head_planes("layer_aux_out")
+            # BOTH 1-wide heads in ONE [C, 2] matmul: two separate head
+            # dots would each stream the full [3, M, C] Jacobian planes
+            # from HBM again — the glue here is bandwidth-bound, so the
+            # combined weight halves the dominant head-read traffic.
+            # Tangents stay in PLANE layout [3, M] ([3,M]<->[M,3]
+            # relayouts are sublane shuffles that cost real time).
+            w2 = jnp.concatenate(
+                [cast(params["layer_ddf_out"]["w"]),
+                 cast(params["layer_aux_out"]["w"])], axis=1,
+            )  # [C, 2]
+            b2 = jnp.concatenate(
+                [cast(params["layer_ddf_out"]["b"]),
+                 cast(params["layer_aux_out"]["b"])], axis=0,
+            )
+            hv2 = (v_feat @ w2 + b2).astype(jnp.float32)  # [M, 2]
+            hj2 = (j_feat @ w2).astype(jnp.float32)  # [3, M, 2]
+            ddf_out, aux_out = hv2[:, :1], hv2[:, 1:]
+            ddf_jac_p, aux_jac_p = hj2[..., 0], hj2[..., 1]  # [3, M] each
         else:
             embed_scaled = pe_dual(
                 pos, self.embed_pos_rank, grad_scale * lowpass * weights
@@ -393,37 +407,56 @@ class NeDDF(BaseField):
                 "fields_penalty": fields_penalty.reshape(batch_size, sampling_size),
                 "aux_grad": aux_grad.reshape(batch_size, sampling_size),
             }
+        # DIRECTIONAL color JVP (K=1): the color Jacobian's only consumer
+        # is constraints_color = sum_c (sum_a colorJ[a,:,c] * sg(gradD)[a])^2
+        # — a derivative along the SINGLE direction sg(distance_grad_p).
+        # The reference materialises the full 3-plane Jacobian
+        # (neddf.py:243-257) and contracts at the end; contracting at the
+        # SEED (tangent = J_input . gradD) propagates one tangent plane
+        # instead of three — the tangent path is linear, so the result is
+        # identical up to f32 summation order — and halves the color
+        # trunk's streams/FLOPs (kernel K=1 vs K=3).
+        t_dir = sg(jnp.transpose(distance_grad_p))  # [M, 3]
+        ep_v2, ep_t = pe_dual_directional(
+            pos, self.embed_pos_rank, t_dir, lowpass * weights
+        )
         if fused:
-            ep_v, ep_j = pe_dual_planes(
-                pos, self.embed_pos_rank, lowpass * weights
-            )
-            vs = (cast(ep_v), cast(embed_dir), cast(sg(norm_dir)), v_feat)
-            js = (cast(ep_j), j_feat)
-            hc_v, hc_j = self._color_fused_planes(params, vs, js)
+            # feature tangent seed: contract the trunk Jacobian planes
+            # with the (stop-grad) direction — one pass over [3, M, C]
+            t_feat = jnp.sum(
+                j_feat * cast(t_dir).T[:, :, None], axis=0
+            )  # [M, C]
+            vs = (cast(ep_v2), cast(embed_dir), cast(sg(norm_dir)), v_feat)
+            js = (cast(ep_t)[None], t_feat[None])  # K=1 tangent planes
+            hc_v, hc_t = self._color_fused_planes(params, vs, js)
             w_co = cast(params["layer_col_out"]["w"])
             b_co = cast(params["layer_col_out"]["b"])
             color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
-            color_j_p = (hc_j @ w_co).astype(jnp.float32)  # [3, M, 3] planes
+            color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
         else:
-            embed_plain = pe_dual(pos, self.embed_pos_rank, lowpass * weights)
+            t_feat = jnp.sum(
+                dual_jacobian(features) * cast(t_dir)[:, :, None], axis=1
+            )  # [M, C]
             col_y = jnp.concatenate(
                 [
-                    dual_value(embed_plain),
+                    ep_v2,
                     embed_dir,
                     sg(norm_dir),
                     dual_value(features),
                 ],
                 axis=1,
             )
-            col_j = jnp.concatenate(
+            col_t = jnp.concatenate(
                 [
-                    dual_jacobian(embed_plain),
-                    jnp.zeros((m, 3, embed_dir.shape[1] + 3), col_y.dtype),
-                    dual_jacobian(features),
+                    ep_t,
+                    jnp.zeros((m, embed_dir.shape[1] + 3), col_y.dtype),
+                    t_feat,
                 ],
-                axis=2,
+                axis=1,
             )
-            hc = cast(jnp.concatenate([col_y[:, None, :], col_j], axis=1))
+            hc = cast(
+                jnp.concatenate([col_y[:, None, :], col_t[:, None, :]], axis=1)
+            )  # [M, 2, C] dual with one tangent row
             for layer in params["layers_col"]:
                 hc = act_dual(
                     linear_dual(hc, cast(layer["w"]), cast(layer["b"])), act, dact
@@ -434,8 +467,8 @@ class NeDDF(BaseField):
                 cast(params["layer_col_out"]["w"]),
                 cast(params["layer_col_out"]["b"]),
             ).astype(jnp.float32)
-            color = dual_value(col)  # [M, 3]
-            color_j_p = jnp.moveaxis(dual_jacobian(col), 1, 0)  # [3, M, 3]
+            color = col[:, 0, :]  # [M, 3]
+            color_t = col[:, 1, :]  # [M, 3] directional derivative
 
         # --- field-constraint penalties (stop_gradient placements match
         #     neddf.py:259-300) ------------------------------------------
@@ -459,12 +492,9 @@ class NeDDF(BaseField):
         penalties["range_color"] = jnp.sum(
             jnp.square(relu(-color) + relu(color - 1.0)), axis=1
         )
-        penalties["constraints_color"] = jnp.sum(
-            jnp.square(
-                jnp.sum(color_j_p * sg(distance_grad_p)[:, :, None], axis=0)
-            ),
-            axis=1,
-        )
+        # color_t IS the contraction colorJ . sg(gradD) (see the seeding
+        # note above), so the penalty is just its squared norm
+        penalties["constraints_color"] = jnp.sum(jnp.square(color_t), axis=1)
         weight_map = dict(self.penalty_weight)
         fields_penalty = sum(
             weight_map.get(k, 1.0) * v for k, v in penalties.items()

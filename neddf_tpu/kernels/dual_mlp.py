@@ -9,8 +9,12 @@ per step and dominates the step time. This kernel runs the ENTIRE trunk
 for a tile of samples inside VMEM:
 
 * value stream   v [M, C]      — one row per sample
-* tangent stream j [3, M, C]   — d(value)/d(x_a) planes; the activation
-  chain rule is a clean 2D broadcast per plane (no sublane reshuffles)
+* tangent stream j [K, M, C]   — derivative planes; the activation
+  chain rule is a clean 2D broadcast per plane (no sublane reshuffles).
+  K is inferred from the ``js`` leading dim: K=3 carries the full
+  d/dxyz Jacobian (the DDF trunk), K=1 carries one directional
+  derivative (the color branch's JVP along grad D — half the streams
+  of the full Jacobian it replaced)
 * matmuls run on the MXU in bfloat16 with float32 accumulation; the
   pre-activations (which feed f' and f'') stay float32
 * the FIRST layer takes multiple input SEGMENTS: concat([a, b, c]) @ W
@@ -186,31 +190,31 @@ def _offsets(widths: Sequence[int]) -> Tuple[int, ...]:
 # values, rows [(1+a)T:(2+a)T] are the d/dx_a tangent planes.
 
 
-def _stack_segment(v, j_list, tile):
-    """[T, w] + 3x[T, w] (or None) -> [4T, w] stacked streams."""
+def _stack_segment(v, j_list, tile, n_tan=3):
+    """[T, w] + Kx[T, w] (or None) -> [(K+1)T, w] stacked streams."""
     if j_list is None:
         z = jnp.zeros_like(v)
-        return jnp.concatenate([v, z, z, z], axis=0)
+        return jnp.concatenate([v] + [z] * n_tan, axis=0)
     return jnp.concatenate([v, *j_list], axis=0)
 
 
 def _dual_act(pre_stack, tile, f, df):
     """Activation on a stacked pre-activation: values get f, tangent
-    blocks get df(value) broadcast (the dual chain rule)."""
+    blocks get df(value) broadcast (the dual chain rule). Generic over
+    the tangent-plane count K = rows/tile - 1 (K=3 for the NeDDF trunk,
+    K=1 for the directional color JVP)."""
+    n_tan = pre_stack.shape[0] // tile - 1
     pre_v = pre_stack[:tile]
     d = df(pre_v)
     return jnp.concatenate(
-        [
-            f(pre_v),
-            d * pre_stack[tile : 2 * tile],
-            d * pre_stack[2 * tile : 3 * tile],
-            d * pre_stack[3 * tile :],
-        ],
+        [f(pre_v)]
+        + [d * pre_stack[(1 + a) * tile : (2 + a) * tile] for a in range(n_tan)],
         axis=0,
     )
 
 
-def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
+def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash,
+                n_tan, *refs):
     """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out
     (+ per-layer pre-activation stash outs [4, T, C_li] when
     ``want_stash`` — consumed by the no-recompute backward)."""
@@ -232,11 +236,13 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
     offs = _offsets(widths)
     tile = v_refs[0].shape[0]
     ji = 0
-    seg = []  # stacked [4T, w_i] per segment (zeros tangent if no J)
+    seg = []  # stacked [(K+1)T, w_i] per segment (zeros tangent if no J)
     for i in range(n_seg):
         if has_j[i]:
             seg.append(
-                _stack_segment(v_refs[i][:], [j_refs[ji][a] for a in range(3)], tile)
+                _stack_segment(
+                    v_refs[i][:], [j_refs[ji][a] for a in range(n_tan)], tile
+                )
             )
             ji += 1
         else:
@@ -255,7 +261,12 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
                 else:
                     vterm = _mm(v_refs[i][:], rows)  # [T, C] value-only
                     term = jnp.concatenate(
-                        [vterm, jnp.zeros((3 * tile, rows.shape[-1]), vterm.dtype)],
+                        [
+                            vterm,
+                            jnp.zeros(
+                                (n_tan * tile, rows.shape[-1]), vterm.dtype
+                            ),
+                        ],
                         axis=0,
                     )
                 pre = term if pre is None else pre + term
@@ -276,21 +287,23 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash, *refs):
             # precision/VMEM trade vs the historical f32-residual
             # recompute; the f32 exactness mode stashes f32.)
             stash_refs[li][:] = pre.astype(_MM_DTYPE[0]).reshape(
-                4, tile, pre.shape[-1]
+                n_tan + 1, tile, pre.shape[-1]
             )
         h = _dual_act(pre, tile, f, df)
     vo_ref[:] = h[:tile].astype(out_dtype)
-    for a in range(3):
+    for a in range(n_tan):
         jo_ref[a] = h[(1 + a) * tile : (2 + a) * tile].astype(out_dtype)
 
 
-def _seg_specs(widths, has_j, tile, c_out):
+def _seg_specs(widths, has_j, tile, c_out, n_tan=3):
     in_specs = [
         pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for w in widths
     ]
     in_specs += [
-        pl.BlockSpec((3, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (n_tan, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
         for w, hj in zip(widths, has_j)
         if hj
     ]
@@ -307,8 +320,9 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
     widths = tuple(v.shape[-1] for v in vs)
     c_out = weights[-1].shape[-1]
     grid = (m // TILE_M,)
+    n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(widths, has_j, TILE_M, c_out)
+    in_specs = _seg_specs(widths, has_j, TILE_M, c_out, n_tan)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -318,7 +332,9 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
         )
     out_specs = [
         pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, TILE_M, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_tan, TILE_M, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
     ]
     args = list(vs) + list(js)
     for w, b in zip(weights, biases):
@@ -326,7 +342,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
     odt = jnp.dtype(out_dtype)
     out_shape = [
         jax.ShapeDtypeStruct((m, c_out), odt),
-        jax.ShapeDtypeStruct((3, m, c_out), odt),
+        jax.ShapeDtypeStruct((n_tan, m, c_out), odt),
     ]
     params = None
     if want_stash:
@@ -334,14 +350,15 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
         for w in weights:
             c = w.shape[-1]
             out_specs.append(
-                pl.BlockSpec((4, TILE_M, c), lambda i: (0, i, 0),
+                pl.BlockSpec((n_tan + 1, TILE_M, c), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
             )
-            out_shape.append(jax.ShapeDtypeStruct((4, m, c), sdt))
+            out_shape.append(jax.ShapeDtypeStruct((n_tan + 1, m, c), sdt))
         params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, layout, act_name, has_j, widths, odt, want_stash
+            _fwd_kernel, layout, act_name, has_j, widths, odt, want_stash,
+            n_tan,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -356,7 +373,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
 
 
 # ------------------------------------------------------------- backward
-def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
+def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
     """Reverse the dual chain; per-layer pre-activations either arrive
     from the forward's HBM stash (``stashed``) or are recomputed in VMEM.
 
@@ -387,11 +404,13 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
     tile = v_refs[0].shape[0]
 
     ji = 0
-    seg = []  # stacked [4T, w_i] (J segments) or None (value-only)
+    seg = []  # stacked [(K+1)T, w_i] (J segments) or None (value-only)
     for i in range(n_seg):
         if has_j[i]:
             seg.append(
-                _stack_segment(v_refs[i][:], [j_refs[ji][a] for a in range(3)], tile)
+                _stack_segment(
+                    v_refs[i][:], [j_refs[ji][a] for a in range(n_tan)], tile
+                )
             )
             ji += 1
         else:
@@ -401,7 +420,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
         # pre-activations were written by the forward kernel (same
         # values the recompute below would produce, same dtype)
         pres = [
-            r[:].reshape(4 * tile, r.shape[-1]) for r in stash_refs
+            r[:].reshape((n_tan + 1) * tile, r.shape[-1]) for r in stash_refs
         ]
     else:
         # ---- recompute forward, stashing pre_stack [4T, C] per layer --
@@ -425,7 +444,8 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
                             [
                                 vterm,
                                 jnp.zeros(
-                                    (3 * tile, rows.shape[-1]), vterm.dtype
+                                    (n_tan * tile, rows.shape[-1]),
+                                    vterm.dtype,
                                 ),
                             ],
                             axis=0,
@@ -441,9 +461,9 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
 
     # ---- reverse pass --------------------------------------------------
     gv = gv_ref[:].astype(jnp.float32)
-    gj = [gj_ref[a].astype(jnp.float32) for a in range(3)]
-    # segment-0 grads contributed by skip layers, stacked [4T, c0]
-    g_skip = jnp.zeros((4 * tile, c0), jnp.float32)
+    gj = [gj_ref[a].astype(jnp.float32) for a in range(n_tan)]
+    # segment-0 grads contributed by skip layers, stacked [(K+1)T, c0]
+    g_skip = jnp.zeros(((n_tan + 1) * tile, c0), jnp.float32)
 
     for li in reversed(range(n_layers)):
         split = layout[li]
@@ -454,14 +474,13 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
         d2 = ddf(pre_v)
         # gpre for the value rows collects the f'' coupling from every
         # tangent plane; tangent rows' grads are gj_a * f'(pre_v)
-        gpre_v = gv * d1 + d2 * (
-            gj[0] * pre[tile : 2 * tile]
-            + gj[1] * pre[2 * tile : 3 * tile]
-            + gj[2] * pre[3 * tile :]
-        )
+        coupling = gj[0] * pre[tile : 2 * tile]
+        for a in range(1, n_tan):
+            coupling = coupling + gj[a] * pre[(1 + a) * tile : (2 + a) * tile]
+        gpre_v = gv * d1 + d2 * coupling
         g_stack = jnp.concatenate(
-            [gpre_v, gj[0] * d1, gj[1] * d1, gj[2] * d1], axis=0
-        )  # [4T, C]
+            [gpre_v] + [gj[a] * d1 for a in range(n_tan)], axis=0
+        )  # [(K+1)T, C]
         db = jnp.sum(gpre_v, axis=0)
 
         # input of this layer, stacked (recomputed; activation in f32,
@@ -481,7 +500,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
                     # production) — halves the dominant HBM write traffic
                     dv_refs[i][:] = d_in[:tile].astype(dv_refs[i].dtype)
                     jidx = sum(1 for k in range(i) if has_j[k])
-                    for a in range(3):
+                    for a in range(n_tan):
                         dj_refs[jidx][a] = d_in[
                             (1 + a) * tile : (2 + a) * tile
                         ].astype(dj_refs[jidx].dtype)
@@ -497,12 +516,12 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, *refs):
                 [_mm(seg[0].T, g_stack), _mm(h_in.T, g_stack)], axis=0
             )
             gv = g_in[:tile]
-            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(3)]
+            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(n_tan)]
         else:
             g_in = _mm(g_stack, w.T)
             dw = _mm(h_in.T, g_stack)
             gv = g_in[:tile]
-            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(3)]
+            gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(n_tan)]
 
         @pl.when(is_first)
         def _(li=li, dw=dw, db=db):
@@ -523,8 +542,9 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]
+    n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(widths, has_j, tile, c_out)
+    in_specs = _seg_specs(widths, has_j, tile, c_out, n_tan)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -534,7 +554,9 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         )
     in_specs += [
         pl.BlockSpec((tile, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_tan, tile, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
     ]
     out_specs = [
         pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -549,9 +571,14 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     for w, hj in zip(widths, has_j):
         if hj:
             out_specs.append(
-                pl.BlockSpec((3, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (n_tan, tile, w), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-            out_shape.append(jax.ShapeDtypeStruct((3, m, w), next(j_iter).dtype))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tan, m, w), next(j_iter).dtype)
+            )
     for w in weights:
         out_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -571,7 +598,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         for p in pres:
             in_specs.append(
                 pl.BlockSpec(
-                    (4, tile, p.shape[-1]), lambda i: (0, i, 0),
+                    (n_tan + 1, tile, p.shape[-1]), lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -583,7 +610,9 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     limit = (48 if stashed else 24) * 1024 * 1024
     params = pltpu.CompilerParams(vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, layout, act_name, has_j, widths, stashed),
+        functools.partial(
+            _bwd_kernel, layout, act_name, has_j, widths, stashed, n_tan
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -129,6 +129,40 @@ def pe_dual_planes(
     return v, j
 
 
+def pe_dual_directional(
+    x: Array, rank: int, v: Array, scale: Optional[Array] = None
+) -> Tuple[Array, Array]:
+    """PE value + directional derivative along per-sample direction v.
+
+    Returns ``(val [M, 6R], tan [M, 6R])`` with
+    ``tan = sum_a d(PE)/d(x_a) * v[:, a]`` — the K=1 tangent seed for
+    JVP-style propagation. Because each PE channel depends on exactly
+    one input axis, the contraction is a channel-wise multiply by the
+    tiled direction (no [3, M, 6R] Jacobian is ever materialised).
+    Exactly ``sum_a pe_dual_planes(x, rank, scale)[1][a] * v[:, a]``.
+    """
+    m, input_dim = x.shape
+    freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
+    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    if scale is None:
+        scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
+    sin_p, cos_p = jnp.sin(p), jnp.cos(p)
+    val = jnp.concatenate([scale * sin_p, scale * cos_p], axis=-1)  # [M, 6R]
+
+    freq_rep = jnp.repeat(freq, input_dim)[None, :]  # [1, R*3]
+    # channel k = (t, i) with axis i fastest -> v tiled rank times lines
+    # each channel up with d/d(its own axis)
+    v_rep = jnp.tile(v.astype(x.dtype), (1, rank))  # [M, R*3]
+    tan = jnp.concatenate(
+        [
+            scale * freq_rep * cos_p * v_rep,
+            -scale * freq_rep * sin_p * v_rep,
+        ],
+        axis=-1,
+    )  # [M, 6R]
+    return val, tan
+
+
 def mlp_dual(
     d: Array,
     weights: Tuple[Array, ...],
