@@ -72,6 +72,25 @@ _DEFAULT_PENALTY_WEIGHT = {
     "range_aux_grad": 1.0,
 }
 
+# Fused head/density/penalty epilogue kernel for the training path
+# (kernels/neddf_epilogue.py). TRACE-TIME flag (see bwd_stash): A/B
+# benches must build fresh jits per setting.
+_EPILOGUE = [True]
+
+
+class use_epilogue:
+    """Context manager toggling the fused epilogue kernel (A/B)."""
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self):
+        self.prev = _EPILOGUE[0]
+        _EPILOGUE[0] = self.on
+
+    def __exit__(self, *exc):
+        _EPILOGUE[0] = self.prev
+
 
 @dataclass(frozen=True)
 class NeDDF(BaseField):
@@ -247,6 +266,103 @@ class NeDDF(BaseField):
         v, j = self._chunked_kernel(call, vs_p[0].shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
+    def _apply_fused_epilogue(
+        self, params, sched, pos, embed_dir, lowpass, weights,
+        v_feat, j_feat, batch_size, sampling_size,
+    ) -> Dict[str, Array]:
+        """Training path with the fused epilogue kernel: heads, density,
+        the four trunk penalties, and the color-tangent seed come out of
+        ONE pass over the trunk streams (kernels/neddf_epilogue.py),
+        then the K=1 directional color branch adds color + the two
+        color-side penalties. Exactly equivalent to the reference math
+        — pinned in tests/kernels/test_neddf_epilogue.py."""
+        from neddf_tpu.kernels.dual_mlp import pad_rows
+        from neddf_tpu.kernels.neddf_epilogue import (
+            TILE as EPI_TILE,
+            neddf_epilogue,
+        )
+
+        sg = jax.lax.stop_gradient
+        cd = jnp.dtype(self.compute_dtype)
+        cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
+        interp = jax.default_backend() != "tpu"
+        m = pos.shape[0]
+
+        wm = dict(self.penalty_weight)
+        wd = params["layer_ddf_out"]["w"]  # [C, 1]
+        wa = params["layer_aux_out"]["w"]  # [C, 1]
+        b2 = jnp.concatenate(
+            [params["layer_ddf_out"]["b"], params["layer_aux_out"]["b"]],
+            axis=0,
+        ).astype(jnp.float32)
+        scal = jnp.stack([
+            jnp.float32(self.d_near),
+            sched.aux_grad_scale,
+            sched.distance_range_max,
+            jnp.float32(wm.get("constraints_aux_grad", 1.0)),
+            jnp.float32(wm.get("constraints_dDdt", 1.0)),
+            jnp.float32(wm.get("range_distance", 1.0)),
+            jnp.float32(wm.get("range_aux_grad", 1.0)),
+            jnp.float32(0.0),
+        ])
+        vp, _ = pad_rows(v_feat, EPI_TILE)
+        jp, _ = pad_rows(j_feat, EPI_TILE, axis=1)
+
+        # chunk at the verified kernel row cap like every other call
+        def epi_call(lo, hi):
+            return neddf_epilogue(
+                vp[lo:hi], jp[:, lo:hi], wd, wa, b2, scal,
+                self._kernel_out_dtype(), interp,
+            )
+
+        mp, cap = vp.shape[0], self._KERNEL_ROW_CAP
+        if mp <= cap:
+            packed, t_feat = epi_call(0, mp)
+        else:
+            chunks = [epi_call(lo, min(lo + cap, mp))
+                      for lo in range(0, mp, cap)]
+            packed = jnp.concatenate([c[0] for c in chunks], axis=0)
+            t_feat = jnp.concatenate([c[1] for c in chunks], axis=0)
+        packed = packed[:m]
+        density = packed[:, 0]
+        distance = packed[:, 1]
+        aux_grad = packed[:, 2]
+        pen4 = packed[:, 9]
+        norm_dir = sg(packed[:, 3:6])  # [M, 3]
+        t_dir = sg(packed[:, 6:9])  # [M, 3]
+        t_feat = t_feat[:m]
+
+        # ---- K=1 directional color branch ----
+        ep_v2, ep_t = pe_dual_directional(
+            pos, self.embed_pos_rank, t_dir, lowpass * weights
+        )
+        vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
+        js = (cast(ep_t)[None], t_feat[None])
+        hc_v, hc_t = self._color_fused_planes(params, vs, js)
+        w_co = cast(params["layer_col_out"]["w"])
+        b_co = cast(params["layer_col_out"]["b"])
+        color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
+        color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
+
+        p_range_color = jnp.sum(
+            jnp.square(relu(-color) + relu(color - 1.0)), axis=1
+        )
+        p_constraints_color = jnp.sum(jnp.square(color_t), axis=1)
+        fields_penalty = (
+            pen4
+            + wm.get("range_color", 1.0) * p_range_color
+            + wm.get("constraints_color", 1.0) * p_constraints_color
+        )
+        return {
+            "distance": distance.reshape(batch_size, sampling_size),
+            "density": density.reshape(batch_size, sampling_size),
+            "color": color.reshape(batch_size, sampling_size, 3),
+            "fields_penalty": fields_penalty.reshape(
+                batch_size, sampling_size
+            ),
+            "aux_grad": aux_grad.reshape(batch_size, sampling_size),
+        }
+
     def apply(
         self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
     ) -> Dict[str, Array]:
@@ -278,6 +394,11 @@ class NeDDF(BaseField):
             v_feat, j_feat = self._trunk_fused_planes(
                 params, cast(emb_v), cast(emb_j)
             )
+            if need_aux and _EPILOGUE[0]:
+                return self._apply_fused_epilogue(
+                    params, sched, pos, embed_dir, lowpass, weights,
+                    v_feat, j_feat, batch_size, sampling_size,
+                )
 
             # BOTH 1-wide heads in ONE [C, 2] matmul: two separate head
             # dots would each stream the full [3, M, C] Jacobian planes
