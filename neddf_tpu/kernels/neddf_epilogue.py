@@ -180,8 +180,8 @@ def _fwd_kernel(out_dtype, v_ref, j_ref, wd_ref, wa_ref, b2_ref, scal_ref,
     ).astype(out_dtype)
 
 
-def _bwd_kernel(v_ref, j_ref, wd_ref, wa_ref, b2_ref, scal_ref,
-                g_packed_ref, g_tfeat_ref,
+def _bwd_kernel(v_ref, j_ref, wd_ref, wa_ref, wdr_ref, war_ref,
+                b2_ref, scal_ref, g_packed_ref, g_tfeat_ref,
                 dv_ref, dj_ref, dwd_ref, dwa_ref, db2_ref):
     """Hand-written reverse of _epilogue_math + _heads + t_feat.
 
@@ -191,7 +191,12 @@ def _bwd_kernel(v_ref, j_ref, wd_ref, wa_ref, b2_ref, scal_ref,
     the directional-tangent direction), matching the reference's sg
     placements. h1/h2 are recomputed from (v, j) — already streamed
     here for the weight grads — instead of stashed (identical dot on
-    identical operands, so the recompute is bitwise).
+    identical operands, so the recompute is bitwise). The stream
+    cotangent and weight grads go through broadcast outer products and
+    sublane reductions rather than N=1 MXU matvecs: wdr/war carry the
+    head weights pre-transposed to [1, C] so the kernel never
+    transposes a [4T, C] block, and dwd/dwa accumulate in [1, C] row
+    layout (the host-side wrapper transposes them back once).
     """
     tile = v_ref.shape[0]
     h1, h2, stack = _heads(v_ref[:], j_ref, wd_ref[:], wa_ref[:])
@@ -287,13 +292,8 @@ def _bwd_kernel(v_ref, j_ref, wd_ref, wa_ref, b2_ref, scal_ref,
     # ---- heads: h1 = stack@wd (+b on value rows); h2 = stack@wa ----
     g_h1 = jnp.concatenate([g_ddf_out, *g_hj1], axis=0)  # [4T, 1]
     g_h2 = jnp.concatenate([g_aux_out, *g_hj2], axis=0)  # [4T, 1]
-    dt = _MM_DTYPE[0]
-    d_stream = (
-        jnp.dot(g_h1.astype(dt), jnp.transpose(wd_ref[:]).astype(dt),
-                preferred_element_type=jnp.float32)
-        + jnp.dot(g_h2.astype(dt), jnp.transpose(wa_ref[:]).astype(dt),
-                  preferred_element_type=jnp.float32)
-    )  # [4T, C]
+    # stream cotangent as a broadcast outer product (VPU): [4T,1]x[1,C]
+    d_stream = g_h1 * wdr_ref[:] + g_h2 * war_ref[:]  # [4T, C] f32
     dv_ref[:] = d_stream[:tile].astype(dv_ref.dtype)
     # t_feat = sum_a j[a] * sg(dg[a]) — j gets the broadcast back
     for a in range(3):
@@ -301,11 +301,11 @@ def _bwd_kernel(v_ref, j_ref, wd_ref, wa_ref, b2_ref, scal_ref,
             d_stream[(1 + a) * tile:(2 + a) * tile] + g_tfeat * dg[a]
         ).astype(dj_ref.dtype)
 
-    stack_t = jnp.transpose(stack)
-    dwd = jnp.dot(stack_t, g_h1.astype(dt),
-                  preferred_element_type=jnp.float32)  # [C, 1]
-    dwa = jnp.dot(stack_t, g_h2.astype(dt),
-                  preferred_element_type=jnp.float32)
+    # weight grads as sublane reductions of stack * g_h — no [4T,C]
+    # transpose, no N=1 matvec
+    stack_f = stack.astype(jnp.float32)
+    dwd = jnp.sum(stack_f * g_h1, axis=0, keepdims=True)  # [1, C]
+    dwa = jnp.sum(stack_f * g_h2, axis=0, keepdims=True)
     db2 = jnp.concatenate(
         [jnp.sum(g_ddf_out, axis=0, keepdims=True),
          jnp.sum(g_aux_out, axis=0, keepdims=True)], axis=1,
@@ -367,11 +367,15 @@ def _run_bwd(v, j, wd, wa, b2, scal, g_packed, g_tfeat, interpret):
     grid = (m // TILE,)
     vm = pltpu.VMEM
     sm = pltpu.SMEM
+    wdr = jnp.reshape(wd, (1, c)).astype(jnp.float32)
+    war = jnp.reshape(wa, (1, c)).astype(jnp.float32)
     in_specs = [
         pl.BlockSpec((TILE, c), lambda i: (i, 0), memory_space=vm),
         pl.BlockSpec((3, TILE, c), lambda i: (0, i, 0), memory_space=vm),
         pl.BlockSpec(wd.shape, lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec(wa.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((2,), lambda i: (0,), memory_space=sm),
         pl.BlockSpec((8,), lambda i: (0,), memory_space=sm),
         pl.BlockSpec((TILE, PACK_W), lambda i: (i, 0), memory_space=vm),
@@ -380,15 +384,15 @@ def _run_bwd(v, j, wd, wa, b2, scal, g_packed, g_tfeat, interpret):
     out_specs = [
         pl.BlockSpec((TILE, c), lambda i: (i, 0), memory_space=vm),
         pl.BlockSpec((3, TILE, c), lambda i: (0, i, 0), memory_space=vm),
-        pl.BlockSpec(wd.shape, lambda i: (0, 0), memory_space=vm),
-        pl.BlockSpec(wa.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=vm),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((m, c), v.dtype),
         jax.ShapeDtypeStruct((3, m, c), j.dtype),
-        jax.ShapeDtypeStruct(wd.shape, jnp.float32),
-        jax.ShapeDtypeStruct(wa.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
         jax.ShapeDtypeStruct((1, 2), jnp.float32),
     ]
     return pl.pallas_call(
@@ -400,7 +404,7 @@ def _run_bwd(v, j, wd, wa, b2, scal, g_packed, g_tfeat, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
-    )(v, j, wd, wa, b2, scal, g_packed, g_tfeat)
+    )(v, j, wd, wa, wdr, war, b2, scal, g_packed, g_tfeat)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -443,7 +447,9 @@ def _epi_bwd(out_dtype, interpret, res, g):
     dv, dj, dwd, dwa, db2 = _run_bwd(
         v, j, wd, wa, b2, scal, g_packed, g_tfeat, interpret,
     )
-    return (dv, dj, dwd.astype(wd.dtype), dwa.astype(wa.dtype),
+    return (dv, dj,
+            dwd.reshape(wd.shape).astype(wd.dtype),
+            dwa.reshape(wa.shape).astype(wa.dtype),
             db2.reshape(2), jnp.zeros_like(scal))
 
 
