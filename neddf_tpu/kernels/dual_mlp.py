@@ -159,6 +159,28 @@ def _mm(a: Array, b: Array) -> Array:
     )
 
 
+def _mm_tn(a: Array, b: Array) -> Array:
+    """a.T @ b without materializing the transpose (contract dim 0/0).
+
+    Mosaic feeds the MXU directly from the transposed-operand access
+    pattern; an explicit ``a.T`` would spend VPU lane/sublane shuffles
+    on a [4T, C] block per layer per grid step."""
+    dt = _MM_DTYPE[0]
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_nt(a: Array, b: Array) -> Array:
+    """a @ b.T without materializing the transpose (contract dim 1/1)."""
+    dt = _MM_DTYPE[0]
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 class matmul_dtype:
     """Context manager to switch the kernel matmul input dtype (tests)."""
 
@@ -213,11 +235,11 @@ def _dual_act(pre_stack, tile, f, df):
     )
 
 
-def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash,
+def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
                 n_tan, *refs):
     """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out
-    (+ per-layer pre-activation stash outs [4, T, C_li] when
-    ``want_stash`` — consumed by the no-recompute backward)."""
+    (+ pre-activation stash outs [4, T, C_li] for the layers flagged in
+    ``stash_map`` — consumed by the no-recompute backward)."""
     n_seg = len(widths)
     n_j = sum(has_j)
     n_layers = len(layout)
@@ -225,9 +247,10 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash,
     j_refs = refs[n_seg : n_seg + n_j]
     wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
-    if want_stash:
-        vo_ref, jo_ref = refs[-2 - n_layers], refs[-1 - n_layers]
-        stash_refs = refs[-n_layers:]
+    if stash_map is not None:
+        n_stash = sum(stash_map)
+        vo_ref, jo_ref = refs[-2 - n_stash], refs[-1 - n_stash]
+        stash_refs = refs[-n_stash:]
     else:
         vo_ref, jo_ref = refs[-2], refs[-1]
         stash_refs = None
@@ -250,6 +273,7 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash,
 
     h = None
     c0 = widths[0]
+    si = 0
     for li, split in enumerate(layout):
         w, b = w_refs[li][:], b_refs[li][:]
         if li == 0:
@@ -279,16 +303,17 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, want_stash,
         else:
             pre = _mm(h, w)
             pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
-        if stash_refs is not None:
+        if stash_refs is not None and stash_map[li]:
             # identical values to what the recompute backward would
             # rebuild, in the same (matmul) dtype — stash and recompute
             # gradients match exactly. (In bf16 production mode both
             # paths round pre-activations to bf16, a deliberate
             # precision/VMEM trade vs the historical f32-residual
             # recompute; the f32 exactness mode stashes f32.)
-            stash_refs[li][:] = pre.astype(_MM_DTYPE[0]).reshape(
+            stash_refs[si][:] = pre.astype(_MM_DTYPE[0]).reshape(
                 n_tan + 1, tile, pre.shape[-1]
             )
+            si += 1
         h = _dual_act(pre, tile, f, df)
     vo_ref[:] = h[:tile].astype(out_dtype)
     for a in range(n_tan):
@@ -311,7 +336,7 @@ def _seg_specs(widths, has_j, tile, c_out, n_tan=3):
 
 
 def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
-                 interpret=False, want_stash=False):
+                 interpret=False, stash_map=None):
     m = vs[0].shape[0]
     if m % TILE_M:
         # the grid would silently skip the trailing rows — callers must
@@ -345,9 +370,11 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
         jax.ShapeDtypeStruct((n_tan, m, c_out), odt),
     ]
     params = None
-    if want_stash:
+    if stash_map is not None:
         sdt = _MM_DTYPE[0]
-        for w in weights:
+        for w, st in zip(weights, stash_map):
+            if not st:
+                continue
             c = w.shape[-1]
             out_specs.append(
                 pl.BlockSpec((n_tan + 1, TILE_M, c), lambda i: (0, i, 0),
@@ -357,7 +384,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
         params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, layout, act_name, has_j, widths, odt, want_stash,
+            _fwd_kernel, layout, act_name, has_j, widths, odt, stash_map,
             n_tan,
         ),
         grid=grid,
@@ -367,15 +394,17 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
         interpret=interpret,
         compiler_params=None if interpret else params,
     )(*args)
-    if want_stash:
+    if stash_map is not None:
         return outs[0], outs[1], tuple(outs[2:])
     return outs
 
 
 # ------------------------------------------------------------- backward
-def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
+def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
     """Reverse the dual chain; per-layer pre-activations either arrive
-    from the forward's HBM stash (``stashed``) or are recomputed in VMEM.
+    from the forward's HBM stash (layers flagged in ``stash_map``) or
+    are recomputed in VMEM (the rest; ``stash_map is None`` recomputes
+    everything).
 
     refs = [*v_segs, *j_segs, (w, b) * L, gv, gj, (*pres)]  inputs
          + [*dv_segs, *dj_segs, (dw, db) * L]               outputs
@@ -383,6 +412,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
     n_seg = len(widths)
     n_j = sum(has_j)
     n_layers = len(layout)
+    n_stash = sum(stash_map) if stash_map is not None else 0
     v_refs = refs[:n_seg]
     j_refs = refs[n_seg : n_seg + n_j]
     wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
@@ -390,8 +420,8 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
     gv_ref = refs[n_seg + n_j + 2 * n_layers]
     gj_ref = refs[n_seg + n_j + 2 * n_layers + 1]
     n_in = n_seg + n_j + 2 * n_layers + 2
-    stash_refs = refs[n_in : n_in + n_layers] if stashed else None
-    outs = refs[n_in + n_layers :] if stashed else refs[n_in:]
+    stash_refs = refs[n_in : n_in + n_stash] if stash_map is not None else None
+    outs = refs[n_in + n_stash :]
     dv_refs = outs[:n_seg]
     dj_refs = outs[n_seg : n_seg + n_j]
     dwb = outs[n_seg + n_j :]
@@ -416,48 +446,58 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
         else:
             seg.append(None)
 
-    if stashed:
-        # pre-activations were written by the forward kernel (same
-        # values the recompute below would produce, same dtype)
-        pres = [
-            r[:].reshape((n_tan + 1) * tile, r.shape[-1]) for r in stash_refs
-        ]
-    else:
-        # ---- recompute forward, stashing pre_stack [4T, C] per layer --
-        # the stash lives in the matmul dtype: bf16 in production halves
-        # the VMEM footprint (allowing the 2x backward tile); f32
-        # exactness mode stashes f32, reproducing original numerics
-        stash_dt = _MM_DTYPE[0]
-        h = None
-        pres = []
-        for li, split in enumerate(layout):
-            w, b = w_refs[li][:], b_refs[li][:]
-            if li == 0:
-                pre = None
-                for i in range(n_seg):
-                    rows = w[offs[i] : offs[i] + widths[i], :]
-                    if seg[i] is not None:
-                        term = _mm(seg[i], rows)
-                    else:
-                        vterm = _mm(v_refs[i][:], rows)
-                        term = jnp.concatenate(
-                            [
-                                vterm,
-                                jnp.zeros(
-                                    (n_tan * tile, rows.shape[-1]),
-                                    vterm.dtype,
-                                ),
-                            ],
-                            axis=0,
-                        )
-                    pre = term if pre is None else pre + term
-            elif split:
+    # ---- pre-activations: read the forward's HBM stash where stashed,
+    # recompute the rest in VMEM. Within a run of consecutive
+    # recomputed layers the replay chains through the f32 `prev_f32`
+    # (exactly like the forward), so the all-recompute path reproduces
+    # the all-stash values bitwise; a recomputed layer that FOLLOWS a
+    # stashed one chains from the stash dtype (bf16 in production — the
+    # stride>1 hybrid's only numeric delta, nil in f32 exactness mode).
+    stash_dt = _MM_DTYPE[0]
+    pres = []
+    prev_f32 = None  # f32 pre of layer li-1 iff it was recomputed here
+    si = 0
+    for li, split in enumerate(layout):
+        if stash_map is not None and stash_map[li]:
+            r = stash_refs[si]
+            si += 1
+            pres.append(r[:].reshape((n_tan + 1) * tile, r.shape[-1]))
+            prev_f32 = None
+            continue
+        w, b = w_refs[li][:], b_refs[li][:]
+        if li == 0:
+            pre = None
+            for i in range(n_seg):
+                rows = w[offs[i] : offs[i] + widths[i], :]
+                if seg[i] is not None:
+                    term = _mm(seg[i], rows)
+                else:
+                    vterm = _mm(v_refs[i][:], rows)
+                    term = jnp.concatenate(
+                        [
+                            vterm,
+                            jnp.zeros(
+                                (n_tan * tile, rows.shape[-1]),
+                                vterm.dtype,
+                            ),
+                        ],
+                        axis=0,
+                    )
+                pre = term if pre is None else pre + term
+        else:
+            src = (
+                prev_f32
+                if prev_f32 is not None
+                else pres[li - 1].astype(jnp.float32)
+            )
+            h = _dual_act(src, tile, f, df)
+            if split:
                 pre = _mm(seg[0], w[:c0, :]) + _mm(h, w[c0:, :])
             else:
                 pre = _mm(h, w)
-            pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
-            pres.append(pre.astype(stash_dt))
-            h = _dual_act(pre, tile, f, df)
+        pre = jnp.concatenate([pre[:tile] + b, pre[tile:]], axis=0)
+        pres.append(pre.astype(stash_dt))
+        prev_f32 = pre
 
     # ---- reverse pass --------------------------------------------------
     gv = gv_ref[:].astype(jnp.float32)
@@ -493,7 +533,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
             for i in range(n_seg):
                 rows = w[offs[i] : offs[i] + widths[i], :]
                 if seg[i] is not None:
-                    d_in = _mm(g_stack, rows.T)  # [4T, w_i]
+                    d_in = _mm_nt(g_stack, rows)  # [4T, w_i]
                     if i == 0:
                         d_in = d_in + g_skip
                     # input cotangents leave in the primal dtype (bf16 in
@@ -504,22 +544,22 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
                         dj_refs[jidx][a] = d_in[
                             (1 + a) * tile : (2 + a) * tile
                         ].astype(dj_refs[jidx].dtype)
-                    dw_blocks.append(_mm(seg[i].T, g_stack))
+                    dw_blocks.append(_mm_tn(seg[i], g_stack))
                 else:
-                    dv_refs[i][:] = _mm(gpre_v, rows.T).astype(dv_refs[i].dtype)
-                    dw_blocks.append(_mm(v_refs[i][:].T, gpre_v))
+                    dv_refs[i][:] = _mm_nt(gpre_v, rows).astype(dv_refs[i].dtype)
+                    dw_blocks.append(_mm_tn(v_refs[i][:], gpre_v))
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
-            g_skip = g_skip + _mm(g_stack, w[:c0, :].T)
-            g_in = _mm(g_stack, w[c0:, :].T)  # [4T, C_hidden]
+            g_skip = g_skip + _mm_nt(g_stack, w[:c0, :])
+            g_in = _mm_nt(g_stack, w[c0:, :])  # [4T, C_hidden]
             dw = jnp.concatenate(
-                [_mm(seg[0].T, g_stack), _mm(h_in.T, g_stack)], axis=0
+                [_mm_tn(seg[0], g_stack), _mm_tn(h_in, g_stack)], axis=0
             )
             gv = g_in[:tile]
             gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(n_tan)]
         else:
-            g_in = _mm(g_stack, w.T)
-            dw = _mm(h_in.T, g_stack)
+            g_in = _mm_nt(g_stack, w)
+            dw = _mm_tn(h_in, g_stack)
             gv = g_in[:tile]
             gj = [g_in[(1 + a) * tile : (2 + a) * tile] for a in range(n_tan)]
 
@@ -535,7 +575,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stashed, n_tan, *refs):
 
 
 def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
-                  interpret=False, pres=None):
+                  interpret=False, pres=None, stash_map=None):
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     tile = _bwd_tile()
@@ -595,6 +635,8 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     args += [gv, gj]
     stashed = pres is not None
     if stashed:
+        if stash_map is None:
+            stash_map = (True,) * n_layers
         for p in pres:
             in_specs.append(
                 pl.BlockSpec(
@@ -603,6 +645,8 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
                 )
             )
         args += list(pres)
+    else:
+        stash_map = None
     # the 512-row single-segment tile peaks at 16.33MB of scoped VMEM —
     # barely past the 16MB default — and is worth it (bigger MXU tiles,
     # half the grid steps), so raise the per-kernel limit; the stashed
@@ -611,7 +655,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     params = pltpu.CompilerParams(vmem_limit_bytes=limit)
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, layout, act_name, has_j, widths, stashed, n_tan
+            _bwd_kernel, layout, act_name, has_j, widths, stash_map, n_tan
         ),
         grid=grid,
         in_specs=in_specs,
@@ -678,6 +722,41 @@ def dual_mlp_seg(
 # un-differentiated (eval) path never stashes.
 _BWD_STASH = [True]
 
+# Stash STRIDE: with stride s the forward stashes only layers li % s == 0
+# and the backward recomputes each in-between layer from the nearest
+# stashed one (one extra dual matmul per skipped layer) — the
+# gradient-checkpointing middle ground between all-stash (stride 1,
+# max HBM traffic / min MXU) and all-recompute (bwd_stash(False)).
+# Read at trace time, same caveat as bwd_stash.
+# MEASURED (v5e-1 flagship, same-session A/B): stride 1 / 2 / 3 =
+# 19.9 / 20.5 / 20.4 ms per step — the full stash WINS; its HBM
+# traffic overlaps MXU work almost completely, so the recompute
+# matmuls are a pure add. Stride stays 1; >1 remains available for
+# memory-constrained shapes (the stash is the dominant HBM resident
+# at large batch, kernels docstring "KNOWN LIMIT").
+_STASH_STRIDE = [1]
+
+
+class stash_stride:
+    """Context manager for the stash stride (trace-time, for A/Bs)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __enter__(self):
+        self.prev = _STASH_STRIDE[0]
+        _STASH_STRIDE[0] = self.n
+
+    def __exit__(self, *exc):
+        _STASH_STRIDE[0] = self.prev
+
+
+def _make_stash_map(n_layers: int):
+    if not _BWD_STASH[0]:
+        return None
+    s = _STASH_STRIDE[0]
+    return tuple(li % s == 0 for li in range(n_layers))
+
 
 class bwd_stash:
     """Context manager toggling the stashed backward (A/B benches).
@@ -702,10 +781,11 @@ class bwd_stash:
 
 
 def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interpret):
-    if _BWD_STASH[0]:
+    sm = _make_stash_map(len(weights))
+    if sm is not None:
         v, j, pres = _run_forward(
             tuple(vs), tuple(js), tuple(weights), tuple(biases), layout,
-            act_name, has_j, out_dtype, interpret, want_stash=True,
+            act_name, has_j, out_dtype, interpret, stash_map=sm,
         )
         return (v, j), (
             tuple(vs), tuple(js), tuple(weights), tuple(biases), pres
@@ -720,12 +800,22 @@ def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interp
 def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
     vs, js, weights, biases, pres = res
     gv, gj = g
+    # the stash map is re-derived from the (trace-time) module flags —
+    # fwd and bwd are traced under one grad trace, so they agree
+    sm = _make_stash_map(len(weights)) if pres is not None else None
+    if pres is not None and (sm is None or sum(sm) != len(pres)):
+        raise RuntimeError(
+            "bwd_stash/stash_stride flipped between the forward and "
+            "backward trace of one grad program — wrap the whole "
+            "differentiated call in a single context (see bwd_stash "
+            "docstring)"
+        )
     # gv/gj enter in the kernel OUTPUT dtype (bf16 in production) and dx
     # cotangents leave in the primal input dtypes — no f32 staging arrays
     # on either side of the kernel; only dW/db (tiny) are f32.
     dvs, djs, dws, dbs = _run_backward(
         vs, js, weights, biases, layout, act_name, has_j, gv, gj, interpret,
-        pres=pres,
+        pres=pres, stash_map=sm,
     )
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
