@@ -53,7 +53,6 @@ from neddf_tpu.ops.dual import (
     linear_dual,
     pe_dual,
     pe_dual_directional,
-    pe_dual_planes,
 )
 from neddf_tpu.ops.pe import (
     pe_grad_scale,
@@ -76,6 +75,41 @@ _DEFAULT_PENALTY_WEIGHT = {
 # (kernels/neddf_epilogue.py). TRACE-TIME flag (see bwd_stash): A/B
 # benches must build fresh jits per setting.
 _EPILOGUE = [True]
+
+# Where the positional encoding is expanded: "trunk" fuses the DDF
+# trunk's PE-with-grad into the dual-MLP kernel (raw pos/var in,
+# kernels/dual_mlp.py in-kernel PE), "both" additionally fuses the
+# color branch's directional PE + PE(dir), "off" builds every encoding
+# in XLA (ops/dual.py) and feeds expanded arrays. TRACE-TIME flag.
+#
+# MEASURED NEGATIVE RESULT (v5e-1 flagship, same-session A/B 2026-08-17,
+# do not re-default without re-measuring): off / trunk / both =
+# 19.5 / 20.6 / 21.5 ms per step. In-kernel expansion LOSES even though
+# it deletes ~1.8 ms of XLA-side PE glue: inside the kernel every
+# elementwise op on the narrow [T,30]/[T,60] intermediates occupies
+# full 128-lane vregs (~64 vregs per op at T=512 regardless of width),
+# the expansion runs twice (fwd + bwd re-expand), and the bwd adds the
+# ~40-op PE cotangent chain — ~5 us/tile against the ~2 us the XLA
+# fusions amortise to. The capability stays (verified bitwise vs the
+# XLA path in tests/kernels/test_dual_mlp_pe.py) for shapes/hardware
+# where the trade flips.
+_PE_IN_KERNEL = ["off"]
+
+
+class pe_in_kernel:
+    """Context manager for the PE-fusion mode (A/B benches)."""
+
+    def __init__(self, mode: str):
+        assert mode in ("both", "trunk", "off")
+        self.mode = mode
+
+    def __enter__(self):
+        self.prev = _PE_IN_KERNEL[0]
+        _PE_IN_KERNEL[0] = self.mode
+        return self
+
+    def __exit__(self, *exc):
+        _PE_IN_KERNEL[0] = self.prev
 
 
 class use_epilogue:
@@ -218,12 +252,16 @@ class NeDDF(BaseField):
         js = jnp.concatenate([o[1] for o in outs], axis=1)
         return vs, js
 
-    def _trunk_fused_planes(self, params, emb_v: Array, emb_j: Array):
-        """DDF trunk through the fused Pallas kernel, planes in/out."""
+    def _trunk_fused_planes(self, params, pos: Array, var: Array, crow: Array):
+        """DDF trunk through the fused Pallas kernel, planes out.
+
+        The PE-with-grad input is expanded INSIDE the kernel from the
+        raw positions, mip variance and the grad_scale*lowpass row
+        (kernels/dual_mlp.py in-kernel PE): the XLA-side PE chain at
+        the flagship shapes was ~2 ms/step of lane-padded [M,30]/[M,60]
+        fusions and layout copies."""
         from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
 
-        v0, m = pad_rows(emb_v)
-        j0, _ = pad_rows(emb_j, axis=1)
         weights = tuple(l["w"] for l in params["layers_ddf"])
         biases = tuple(l["b"] for l in params["layers_ddf"])
         # the reference concats AFTER layer s (neddf.py:214-219), so layer
@@ -231,25 +269,55 @@ class NeDDF(BaseField):
         layout = tuple((li - 1) in self.skips for li in range(len(weights)))
         interp = jax.default_backend() != "tpu"  # CPU tests: interpreter
 
-        def call(lo, hi):
-            return dual_mlp_seg(
-                (v0[lo:hi],), (j0[:, lo:hi],), weights, biases, layout,
-                self.activation_type, (True,), self._kernel_out_dtype(), interp,
+        if _PE_IN_KERNEL[0] in ("both", "trunk"):
+            v0, m = pad_rows(pos)
+            var_p, _ = pad_rows(var)
+            pe = (("id", self.embed_pos_rank, True, True),)
+
+            def call(lo, hi):
+                return dual_mlp_seg(
+                    (v0[lo:hi],), (), weights, biases, layout,
+                    self.activation_type, (True,), self._kernel_out_dtype(),
+                    interp, pe_aux=(crow, var_p[lo:hi]), pe=pe, n_tan=3,
+                )
+
+        else:
+            from neddf_tpu.ops.dual import pe_dual_planes
+
+            cd = jnp.dtype(self.compute_dtype)
+            cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
+            w_mip = pe_weights(var, self.embed_pos_rank)
+            emb_v, emb_j = pe_dual_planes(
+                pos, self.embed_pos_rank, crow * w_mip
             )
+            v0, m = pad_rows(cast(emb_v))
+            j0, _ = pad_rows(cast(emb_j), axis=1)
+
+            def call(lo, hi):
+                return dual_mlp_seg(
+                    (v0[lo:hi],), (j0[:, lo:hi],), weights, biases, layout,
+                    self.activation_type, (True,), self._kernel_out_dtype(),
+                    interp,
+                )
 
         v, j = self._chunked_kernel(call, v0.shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
-    def _color_fused_planes(self, params, vs, js):
+    def _color_fused_planes(self, params, vs, js, pe=None, pe_aux=()):
         """Color trunk via the multi-segment kernel: the reference's
         concat([PE(pos), PE(dir), normal, features]) (neddf.py:243-257)
         becomes split first-layer weights; the no-Jacobian segments
-        (PE(dir), normal) skip the tangent matmuls entirely."""
+        (PE(dir), normal) skip the tangent matmuls entirely. With a
+        ``pe`` descriptor the PE segments arrive as RAW pos/dir [M, 3]
+        and expand inside the kernel."""
         from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
 
         m = vs[0].shape[0]
         vs_p = tuple(pad_rows(v)[0] for v in vs)
         js_p = tuple(pad_rows(j, axis=1)[0] for j in js)
+        aux_p = tuple(
+            a if a.shape[0] == 1 else pad_rows(a)[0] for a in pe_aux
+        )
         weights = tuple(l["w"] for l in params["layers_col"])
         biases = tuple(l["b"] for l in params["layers_col"])
         layout = (False,) * len(weights)
@@ -261,13 +329,17 @@ class NeDDF(BaseField):
                 tuple(j[:, lo:hi] for j in js_p),
                 weights, biases, layout, self.activation_type,
                 (True, False, False, True), self._kernel_out_dtype(), interp,
+                pe_aux=tuple(
+                    a if a.shape[0] == 1 else a[lo:hi] for a in aux_p
+                ),
+                pe=pe,
             )
 
         v, j = self._chunked_kernel(call, vs_p[0].shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
 
     def _apply_fused_epilogue(
-        self, params, sched, pos, embed_dir, lowpass, weights,
+        self, params, sched, pos, direction, var, lowpass,
         v_feat, j_feat, batch_size, sampling_size,
     ) -> Dict[str, Array]:
         """Training path with the fused epilogue kernel: heads, density,
@@ -333,12 +405,28 @@ class NeDDF(BaseField):
         t_feat = t_feat[:m]
 
         # ---- K=1 directional color branch ----
-        ep_v2, ep_t = pe_dual_directional(
-            pos, self.embed_pos_rank, t_dir, lowpass * weights
-        )
-        vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
-        js = (cast(ep_t)[None], t_feat[None])
-        hc_v, hc_t = self._color_fused_planes(params, vs, js)
+        if _PE_IN_KERNEL[0] == "both":
+            vs = (pos, direction, cast(norm_dir), v_feat)
+            js = (t_dir[None], t_feat[None])
+            hc_v, hc_t = self._color_fused_planes(
+                params, vs, js,
+                pe=(
+                    ("dir", self.embed_pos_rank, True, True),
+                    ("plain", self.embed_dir_rank, False, False),
+                    None,
+                    None,
+                ),
+                pe_aux=(lowpass, var),
+            )
+        else:
+            w_mip = pe_weights(var, self.embed_pos_rank)
+            embed_dir = positional_encoding(direction, self.embed_dir_rank)
+            ep_v2, ep_t = pe_dual_directional(
+                pos, self.embed_pos_rank, t_dir, lowpass * w_mip
+            )
+            vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
+            js = (cast(ep_t)[None], t_feat[None])
+            hc_v, hc_t = self._color_fused_planes(params, vs, js)
         w_co = cast(params["layer_col_out"]["w"])
         b_co = cast(params["layer_col_out"]["b"])
         color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
@@ -377,26 +465,20 @@ class NeDDF(BaseField):
 
         grad_scale = pe_grad_scale(self.embed_pos_rank)
         lowpass = pe_lowpass_scale(self.embed_pos_rank, sched.lowpass_alpha)
-        weights = pe_weights(var, self.embed_pos_rank)
-        embed_dir = positional_encoding(direction, self.embed_dir_rank)
 
         # --- DDF trunk on dual tensors -----------------------------------
         cd = jnp.dtype(self.compute_dtype)
         cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
         fused = self._use_fused()
         if fused:
-            # PE duals built directly in the kernels' plane layout — the
-            # [M, 4, C] pack + moveaxis route costs ~1 ms/step at the
-            # flagship shapes purely in layout shuffles
-            emb_v, emb_j = pe_dual_planes(
-                pos, self.embed_pos_rank, grad_scale * lowpass * weights
-            )
+            # the PE dual expands INSIDE the trunk kernel from raw
+            # pos/var + this constant row (see _trunk_fused_planes)
             v_feat, j_feat = self._trunk_fused_planes(
-                params, cast(emb_v), cast(emb_j)
+                params, pos, var, grad_scale * lowpass
             )
             if need_aux and _EPILOGUE[0]:
                 return self._apply_fused_epilogue(
-                    params, sched, pos, embed_dir, lowpass, weights,
+                    params, sched, pos, direction, var, lowpass,
                     v_feat, j_feat, batch_size, sampling_size,
                 )
 
@@ -419,6 +501,7 @@ class NeDDF(BaseField):
             ddf_out, aux_out = hv2[:, :1], hv2[:, 1:]
             ddf_jac_p, aux_jac_p = hj2[..., 0], hj2[..., 1]  # [3, M] each
         else:
+            weights = pe_weights(var, self.embed_pos_rank)
             embed_scaled = pe_dual(
                 pos, self.embed_pos_rank, grad_scale * lowpass * weights
             )
@@ -476,6 +559,8 @@ class NeDDF(BaseField):
             # EVAL fast path: the color-branch Jacobian's only consumer is
             # the constraints_color penalty — skip the 3 tangent streams
             # (the dual color kernel is ~3x the value-only cost)
+            weights = pe_weights(var, self.embed_pos_rank)
+            embed_dir = positional_encoding(direction, self.embed_dir_rank)
             ep_val = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
             if fused:
                 from neddf_tpu.kernels.dual_mlp import pad_rows
@@ -538,23 +623,50 @@ class NeDDF(BaseField):
         # identical up to f32 summation order — and halves the color
         # trunk's streams/FLOPs (kernel K=1 vs K=3).
         t_dir = sg(jnp.transpose(distance_grad_p))  # [M, 3]
-        ep_v2, ep_t = pe_dual_directional(
-            pos, self.embed_pos_rank, t_dir, lowpass * weights
-        )
         if fused:
             # feature tangent seed: contract the trunk Jacobian planes
             # with the (stop-grad) direction — one pass over [3, M, C]
             t_feat = jnp.sum(
                 j_feat * cast(t_dir).T[:, :, None], axis=0
             )  # [M, C]
-            vs = (cast(ep_v2), cast(embed_dir), cast(sg(norm_dir)), v_feat)
-            js = (cast(ep_t)[None], t_feat[None])  # K=1 tangent planes
-            hc_v, hc_t = self._color_fused_planes(params, vs, js)
+            if _PE_IN_KERNEL[0] == "both":
+                # PE(pos) directional dual + PE(dir) expand IN-KERNEL
+                # from the raw pos/dir/seed/var (kernels/dual_mlp.py)
+                vs = (pos, direction, cast(sg(norm_dir)), v_feat)
+                js = (t_dir[None], t_feat[None])  # K=1 tangent planes
+                hc_v, hc_t = self._color_fused_planes(
+                    params, vs, js,
+                    pe=(
+                        ("dir", self.embed_pos_rank, True, True),
+                        ("plain", self.embed_dir_rank, False, False),
+                        None,
+                        None,
+                    ),
+                    pe_aux=(lowpass, var),
+                )
+            else:
+                w_mip = pe_weights(var, self.embed_pos_rank)
+                embed_dir = positional_encoding(
+                    direction, self.embed_dir_rank
+                )
+                ep_v2, ep_t = pe_dual_directional(
+                    pos, self.embed_pos_rank, t_dir, lowpass * w_mip
+                )
+                vs = (
+                    cast(ep_v2), cast(embed_dir), cast(sg(norm_dir)), v_feat
+                )
+                js = (cast(ep_t)[None], t_feat[None])
+                hc_v, hc_t = self._color_fused_planes(params, vs, js)
             w_co = cast(params["layer_col_out"]["w"])
             b_co = cast(params["layer_col_out"]["b"])
             color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
             color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
         else:
+            weights = pe_weights(var, self.embed_pos_rank)
+            embed_dir = positional_encoding(direction, self.embed_dir_rank)
+            ep_v2, ep_t = pe_dual_directional(
+                pos, self.embed_pos_rank, t_dir, lowpass * weights
+            )
             t_feat = jnp.sum(
                 dual_jacobian(features) * cast(t_dir)[:, :, None], axis=1
             )  # [M, C]

@@ -74,6 +74,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -235,17 +236,244 @@ def _dual_act(pre_stack, tile, f, df):
     )
 
 
+# ------------------------------------------------------ in-kernel PE
+#
+# A PE segment arrives as RAW per-sample geometry (x [T, D], optionally
+# the mip variance [T, D] and a K-seed [K, T, D]) plus a tiny constant
+# scale row, and is expanded to the [*, 2*D*rank] encoding INSIDE the
+# kernel. This removes the XLA-side PE chain entirely — at the flagship
+# shapes ~2 ms/step of lane-padded [M,30]/[M,60] fusions, layout copies
+# and bf16 converts (every such array uses <=60 of 128 lanes, so each
+# op pays >2x its true bandwidth). The math matches ops/pe.py /
+# ops/dual.py::pe_dual_planes / pe_dual_directional bitwise in f32.
+#
+# Descriptor per segment: None (regular) or a tuple
+#   (kind, rank, has_crow, has_var) with kind in:
+#   "id"    — tangent planes = identity-seeded PE Jacobian (n_tan == D;
+#             no js entry; the trunk's PE-with-grad input)
+#   "dir"   — K tangent planes seeded by js[i] [K, T, D] (the color
+#             branch's directional JVP)
+#   "plain" — value-only PE (has_j[i] must be False; e.g. PE(dir))
+# has_crow / has_var flag the presence of the per-segment aux arrays in
+# ``pe_aux``: crow [1, D*rank] (the traced lowpass/grad-scale product)
+# and var [T, D] (mip variance -> in-kernel pe_weights).
+
+
+def _pe_ref_j(pe_i, has_j_i) -> bool:
+    """Does segment i consume an entry of ``js``?"""
+    return bool(has_j_i) and (pe_i is None or pe_i[0] == "dir")
+
+
+def _pe_width(pe_i, raw_width: int) -> int:
+    if pe_i is None:
+        return raw_width
+    _, rank, _, _ = pe_i
+    return 2 * raw_width * rank
+
+
+def _pe_trig(x, rank):
+    """Phases + trig in the reference (t, i) channel layout."""
+    sub = [x * np.float32(2.0**t) for t in range(rank)]
+    p = sub[0] if rank == 1 else jnp.concatenate(sub, axis=-1)  # [T, DR]
+    return jnp.sin(p), jnp.cos(p)
+
+
+# Channel-index helpers — built from iota INSIDE the kernel (Pallas
+# rejects captured array constants; scalar constants are fine).
+def _pe_chan(rank, d):
+    """(f_rep [1, DR], axis_idx [1, DR]) in the (t, i) channel layout."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, rank * d), 1)
+    f_rep = jnp.exp2((k // d).astype(jnp.float32))  # exact powers of two
+    return f_rep, k % d
+
+
+def _pe_selmat(rank, d):
+    """[DR, D] channel->axis summing matrix."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (rank * d, d), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (rank * d, d), 1)
+    return ((k % d) == i).astype(jnp.float32)
+
+
+def _pe_scale(crow, var, rank, d):
+    """Total per-sample scale s = crow * exp(-0.5 f^2 var_i), [*, DR]."""
+    w_mip = None
+    if var is not None:
+        varf = var.astype(jnp.float32)
+        blocks = [varf * np.float32(-0.5 * 4.0**t) for t in range(rank)]
+        cat = blocks[0] if rank == 1 else jnp.concatenate(blocks, axis=-1)
+        w_mip = jnp.exp(cat)  # [T, DR]
+    if crow is None:
+        return w_mip, w_mip
+    c = crow.astype(jnp.float32)
+    s = c if w_mip is None else c * w_mip
+    return s, w_mip
+
+
+def _pe_expand(x, rank, crow, var, seeds, n_tan, kind):
+    """Expand a PE segment to its stacked dual [(K+1)T, 2DR] (or value-
+    only [T, 2DR]). Returns (stacked_or_value, cache) where cache holds
+    the trig/scale intermediates the backward chain reuses."""
+    xf = x.astype(jnp.float32)
+    d = x.shape[-1]
+    sin_p, cos_p = _pe_trig(xf, rank)
+    s, w_mip = _pe_scale(crow, var, rank, d)
+    f_rep, axis_idx = _pe_chan(rank, d)
+    if s is None:
+        val = jnp.concatenate([sin_p, cos_p], axis=-1)
+    else:
+        val = jnp.concatenate([s * sin_p, s * cos_p], axis=-1)
+    cache = dict(sin_p=sin_p, cos_p=cos_p, s=s, w_mip=w_mip, f_rep=f_rep,
+                 axis_idx=axis_idx, rank=rank, d=d, kind=kind)
+    if kind == "plain":
+        return val, cache
+    sf = 1.0 if s is None else s
+    g_sin = sf * f_rep * cos_p  # [T, DR] d(sin half)/d(phase-own-axis)
+    g_cos = -(sf * f_rep) * sin_p
+    if kind == "id":
+        # plane a keeps only channels whose input axis is a
+        planes = []
+        for a in range(n_tan):
+            mask = (axis_idx == a).astype(jnp.float32)
+            planes.append(
+                jnp.concatenate([mask * g_sin, mask * g_cos], axis=-1)
+            )
+        cache["g_sin"], cache["g_cos"] = g_sin, g_cos
+        return jnp.concatenate([val] + planes, axis=0), cache
+    # "dir": seeds [K, T, D] -> channel-wise multiply by the tiled seed
+    planes = []
+    u_chs = []
+    for k in range(n_tan):
+        u = seeds[k].astype(jnp.float32)
+        u_ch = u if rank == 1 else jnp.concatenate([u] * rank, axis=-1)
+        u_chs.append(u_ch)
+        planes.append(
+            jnp.concatenate([g_sin * u_ch, g_cos * u_ch], axis=-1)
+        )
+    cache["g_sin"], cache["g_cos"] = g_sin, g_cos
+    cache["u_chs"] = u_chs
+    return jnp.concatenate([val] + planes, axis=0), cache
+
+
+def _pe_backward(d_in, cache, tile, n_tan):
+    """Chain layer-0 cotangents of an expanded PE segment back to
+    (dx [T,D], dcrow_part [1,DR] or None, dvar [T,D] or None,
+    dseeds [K,T,D] or None). ``d_in`` is [(K+1)T, 2DR] ([T, 2DR] for
+    value-only)."""
+    sin_p, cos_p = cache["sin_p"], cache["cos_p"]
+    s, w_mip, f_rep = cache["s"], cache["w_mip"], cache["f_rep"]
+    axis_idx = cache["axis_idx"]
+    rank, d, kind = cache["rank"], cache["d"], cache["kind"]
+    dr = rank * d
+    dv = d_in[:tile]
+    dv_s, dv_c = dv[:, :dr], dv[:, dr:]
+    # value rows: v = s*(sin, cos)
+    dS = dv_s * sin_p + dv_c * cos_p  # d/ds
+    sf = 1.0 if s is None else s
+    dP = sf * (dv_s * cos_p - dv_c * sin_p)  # d/dphase
+    dseeds = None
+    sel = _pe_selmat(rank, d)
+    if kind == "id":
+        for a in range(n_tan):
+            mask = (axis_idx == a).astype(jnp.float32)
+            dj = d_in[(1 + a) * tile : (2 + a) * tile]
+            A, B = mask * dj[:, :dr], mask * dj[:, dr:]
+            # j_a = mask*(s*f*cos, -(s*f)*sin)
+            dS = dS + f_rep * (A * cos_p - B * sin_p)
+            dP = dP - sf * f_rep * (A * sin_p + B * cos_p)
+    elif kind == "dir":
+        dseeds = []
+        for k in range(n_tan):
+            u_ch = cache["u_chs"][k]
+            dj = d_in[(1 + k) * tile : (2 + k) * tile]
+            A, B = dj[:, :dr], dj[:, dr:]
+            du_ch = f_rep * (A * cos_p - B * sin_p)
+            dS = dS + u_ch * du_ch
+            dP = dP - sf * f_rep * u_ch * (A * sin_p + B * cos_p)
+            # du_ch w.r.t. the raw seed includes the s factor (dS above
+            # used the un-s form because s multiplies once in
+            # j = u_ch*s*f*(...))
+            dseeds.append(
+                jax.lax.dot(sf * du_ch, sel,
+                            preferred_element_type=jnp.float32)
+            )
+    dx = jax.lax.dot(dP * f_rep, sel, preferred_element_type=jnp.float32)
+    dcrow = None
+    if cache.get("need_crow"):
+        dcrow = dS if w_mip is None else dS * w_mip
+    dvar = None
+    if w_mip is not None and cache.get("need_var"):
+        dvar = jax.lax.dot(
+            dS * sf * (-0.5 * f_rep * f_rep), sel,
+            preferred_element_type=jnp.float32,
+        )
+    return dx, dcrow, dvar, dseeds
+
+
+def _build_segments(pe, has_j, v_refs, j_refs, aux_refs, n_tan, tile):
+    """Materialise per-segment VMEM inputs: ``seg[i]`` stacked
+    [(K+1)T, w_eff] for J-carrying segments (None otherwise), ``segv[i]``
+    the value row [T, w_eff] for value-only segments (None otherwise),
+    and per-PE-segment trig caches for the backward chain."""
+    n_seg = len(has_j)
+    seg, segv, caches = [], [], []
+    ji = ai = 0
+    for i in range(n_seg):
+        pe_i = pe[i]
+        if pe_i is None:
+            caches.append(None)
+            if has_j[i]:
+                seg.append(
+                    _stack_segment(
+                        v_refs[i][:], [j_refs[ji][a] for a in range(n_tan)],
+                        tile,
+                    )
+                )
+                segv.append(None)
+                ji += 1
+            else:
+                seg.append(None)
+                segv.append(v_refs[i][:])
+            continue
+        kind, rank, has_crow, has_var = pe_i
+        crow = var = None
+        if has_crow:
+            crow = aux_refs[ai][:]
+            ai += 1
+        if has_var:
+            var = aux_refs[ai][:]
+            ai += 1
+        seeds = None
+        if kind == "dir":
+            seeds = [j_refs[ji][a] for a in range(n_tan)]
+            ji += 1
+        out, cache = _pe_expand(
+            v_refs[i][:], rank, crow, var, seeds, n_tan, kind
+        )
+        cache["need_crow"], cache["need_var"] = has_crow, has_var
+        caches.append(cache)
+        if kind == "plain":
+            seg.append(None)
+            segv.append(out)
+        else:
+            seg.append(out)
+            segv.append(None)
+    return seg, segv, caches
+
+
 def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
-                n_tan, *refs):
-    """refs = [*v_segs, *j_segs, (w, b) * L] in + [v_out, j_out] out
+                n_tan, pe, n_aux, *refs):
+    """refs = [*v_segs, *j_segs, *pe_aux, (w, b) * L] in
+         + [v_out, j_out] out
     (+ pre-activation stash outs [4, T, C_li] for the layers flagged in
-    ``stash_map`` — consumed by the no-recompute backward)."""
+    ``stash_map`` — consumed by the no-recompute backward).
+    ``widths`` are the EFFECTIVE (post-PE-expansion) segment widths."""
     n_seg = len(widths)
-    n_j = sum(has_j)
+    n_j = sum(_pe_ref_j(pe[i], has_j[i]) for i in range(n_seg))
     n_layers = len(layout)
     v_refs = refs[:n_seg]
     j_refs = refs[n_seg : n_seg + n_j]
-    wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
+    aux_refs = refs[n_seg + n_j : n_seg + n_j + n_aux]
+    wb = refs[n_seg + n_j + n_aux : n_seg + n_j + n_aux + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
     if stash_map is not None:
         n_stash = sum(stash_map)
@@ -258,18 +486,9 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
     f, df, _ = _act_fns(act_name)
     offs = _offsets(widths)
     tile = v_refs[0].shape[0]
-    ji = 0
-    seg = []  # stacked [(K+1)T, w_i] per segment (zeros tangent if no J)
-    for i in range(n_seg):
-        if has_j[i]:
-            seg.append(
-                _stack_segment(
-                    v_refs[i][:], [j_refs[ji][a] for a in range(n_tan)], tile
-                )
-            )
-            ji += 1
-        else:
-            seg.append(None)  # value-only; handled on the value block
+    seg, segv, _ = _build_segments(
+        pe, has_j, v_refs, j_refs, aux_refs, n_tan, tile
+    )
 
     h = None
     c0 = widths[0]
@@ -283,7 +502,7 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
                 if seg[i] is not None:
                     term = _mm(seg[i], rows)  # [4T, C]
                 else:
-                    vterm = _mm(v_refs[i][:], rows)  # [T, C] value-only
+                    vterm = _mm(segv[i], rows)  # [T, C] value-only
                     term = jnp.concatenate(
                         [
                             vterm,
@@ -320,34 +539,57 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
         jo_ref[a] = h[(1 + a) * tile : (2 + a) * tile].astype(out_dtype)
 
 
-def _seg_specs(widths, has_j, tile, c_out, n_tan=3):
+def _seg_specs(vs, js, pe_aux, tile, n_tan):
+    """Input block specs for the segment values, explicit tangent
+    planes, and PE aux arrays (crow rows [1, DR] are replicated per
+    grid step; var arrays [M, D] stream per row-tile)."""
     in_specs = [
-        pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        for w in widths
+        pl.BlockSpec(
+            (tile, v.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        for v in vs
     ]
     in_specs += [
         pl.BlockSpec(
-            (n_tan, tile, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (n_tan, tile, j.shape[-1]), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
         )
-        for w, hj in zip(widths, has_j)
-        if hj
+        for j in js
     ]
+    for a in pe_aux:
+        if a.shape[0] == 1:
+            in_specs.append(
+                pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (tile, a.shape[-1]), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
     return in_specs
 
 
 def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
-                 interpret=False, stash_map=None):
+                 interpret=False, stash_map=None, pe=None, pe_aux=(),
+                 n_tan=None):
     m = vs[0].shape[0]
     if m % TILE_M:
         # the grid would silently skip the trailing rows — callers must
         # pad_rows() to a TILE_M multiple
         raise ValueError(f"rows {m} not a multiple of TILE_M={TILE_M}")
-    widths = tuple(v.shape[-1] for v in vs)
+    if pe is None:
+        pe = (None,) * len(vs)
+    widths = tuple(
+        _pe_width(p, v.shape[-1]) for p, v in zip(pe, vs)
+    )  # effective (post-PE-expansion) widths for the weight-row offsets
     c_out = weights[-1].shape[-1]
     grid = (m // TILE_M,)
-    n_tan = js[0].shape[0] if js else 3
+    if n_tan is None:
+        n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(widths, has_j, TILE_M, c_out, n_tan)
+    in_specs = _seg_specs(vs, js, pe_aux, TILE_M, n_tan)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -361,7 +603,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
             (n_tan, TILE_M, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
     ]
-    args = list(vs) + list(js)
+    args = list(vs) + list(js) + list(pe_aux)
     for w, b in zip(weights, biases):
         args += [w, b]
     odt = jnp.dtype(out_dtype)
@@ -385,7 +627,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
     outs = pl.pallas_call(
         functools.partial(
             _fwd_kernel, layout, act_name, has_j, widths, odt, stash_map,
-            n_tan,
+            n_tan, pe, len(pe_aux),
         ),
         grid=grid,
         in_specs=in_specs,
@@ -400,31 +642,61 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
 
 
 # ------------------------------------------------------------- backward
-def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
+def _write_pe_aux_grads(daux_refs, ai, cache, dcrow, dvar, is_first):
+    """Write a PE segment's aux cotangents: crow grads accumulate
+    across the sequential grid (like dW/db), var grads are per-row."""
+    if cache["need_crow"]:
+        dc = jnp.sum(dcrow, axis=0, keepdims=True)  # [1, DR]
+        r = daux_refs[ai]
+        ai += 1
+
+        @pl.when(is_first)
+        def _(r=r, dc=dc):
+            r[:] = dc.astype(r.dtype)
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(r=r, dc=dc):
+            r[:] = r[:] + dc.astype(r.dtype)
+
+    if cache["need_var"]:
+        daux_refs[ai][:] = dvar.astype(daux_refs[ai].dtype)
+        ai += 1
+    return ai
+
+
+def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, pe,
+                n_aux, *refs):
     """Reverse the dual chain; per-layer pre-activations either arrive
     from the forward's HBM stash (layers flagged in ``stash_map``) or
     are recomputed in VMEM (the rest; ``stash_map is None`` recomputes
     everything).
 
-    refs = [*v_segs, *j_segs, (w, b) * L, gv, gj, (*pres)]  inputs
-         + [*dv_segs, *dj_segs, (dw, db) * L]               outputs
-    """
+    refs = [*v_segs, *j_segs, *pe_aux, (w, b) * L, gv, gj, (*pres)]  in
+         + [*dv_segs, *dj_segs, *d_pe_aux, (dw, db) * L]            out
+
+    PE segments re-expand their encodings here (cheap VPU trig per
+    tile) and their layer-0 cotangents chain back to the RAW inputs:
+    dx [T, D], d(crow) [1, DR] (grid-accumulated), d(var) [T, D],
+    d(seeds) [K, T, D]."""
     n_seg = len(widths)
-    n_j = sum(has_j)
+    n_j = sum(_pe_ref_j(pe[i], has_j[i]) for i in range(n_seg))
     n_layers = len(layout)
     n_stash = sum(stash_map) if stash_map is not None else 0
     v_refs = refs[:n_seg]
     j_refs = refs[n_seg : n_seg + n_j]
-    wb = refs[n_seg + n_j : n_seg + n_j + 2 * n_layers]
+    aux_refs = refs[n_seg + n_j : n_seg + n_j + n_aux]
+    base = n_seg + n_j + n_aux
+    wb = refs[base : base + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
-    gv_ref = refs[n_seg + n_j + 2 * n_layers]
-    gj_ref = refs[n_seg + n_j + 2 * n_layers + 1]
-    n_in = n_seg + n_j + 2 * n_layers + 2
+    gv_ref = refs[base + 2 * n_layers]
+    gj_ref = refs[base + 2 * n_layers + 1]
+    n_in = base + 2 * n_layers + 2
     stash_refs = refs[n_in : n_in + n_stash] if stash_map is not None else None
     outs = refs[n_in + n_stash :]
     dv_refs = outs[:n_seg]
     dj_refs = outs[n_seg : n_seg + n_j]
-    dwb = outs[n_seg + n_j :]
+    daux_refs = outs[n_seg + n_j : n_seg + n_j + n_aux]
+    dwb = outs[n_seg + n_j + n_aux :]
     dw_refs, db_refs = dwb[0::2], dwb[1::2]
 
     f, df, ddf = _act_fns(act_name)
@@ -433,18 +705,9 @@ def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
     is_first = pl.program_id(0) == 0
     tile = v_refs[0].shape[0]
 
-    ji = 0
-    seg = []  # stacked [(K+1)T, w_i] (J segments) or None (value-only)
-    for i in range(n_seg):
-        if has_j[i]:
-            seg.append(
-                _stack_segment(
-                    v_refs[i][:], [j_refs[ji][a] for a in range(n_tan)], tile
-                )
-            )
-            ji += 1
-        else:
-            seg.append(None)
+    seg, segv, caches = _build_segments(
+        pe, has_j, v_refs, j_refs, aux_refs, n_tan, tile
+    )
 
     # ---- pre-activations: read the forward's HBM stash where stashed,
     # recompute the rest in VMEM. Within a run of consecutive
@@ -472,7 +735,7 @@ def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
                 if seg[i] is not None:
                     term = _mm(seg[i], rows)
                 else:
-                    vterm = _mm(v_refs[i][:], rows)
+                    vterm = _mm(segv[i], rows)
                     term = jnp.concatenate(
                         [
                             vterm,
@@ -530,24 +793,55 @@ def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
 
         if li == 0:
             dw_blocks = []
+            ai = 0  # running index into daux_refs (order: per-seg crow?, var?)
             for i in range(n_seg):
                 rows = w[offs[i] : offs[i] + widths[i], :]
+                pe_i = pe[i]
+                jidx = sum(
+                    1 for k in range(i) if _pe_ref_j(pe[k], has_j[k])
+                )
                 if seg[i] is not None:
-                    d_in = _mm_nt(g_stack, rows)  # [4T, w_i]
+                    d_in = _mm_nt(g_stack, rows)  # [4T, w_eff]
                     if i == 0:
                         d_in = d_in + g_skip
-                    # input cotangents leave in the primal dtype (bf16 in
-                    # production) — halves the dominant HBM write traffic
-                    dv_refs[i][:] = d_in[:tile].astype(dv_refs[i].dtype)
-                    jidx = sum(1 for k in range(i) if has_j[k])
-                    for a in range(n_tan):
-                        dj_refs[jidx][a] = d_in[
-                            (1 + a) * tile : (2 + a) * tile
-                        ].astype(dj_refs[jidx].dtype)
                     dw_blocks.append(_mm_tn(seg[i], g_stack))
+                    if pe_i is None:
+                        # input cotangents leave in the primal dtype (bf16
+                        # in production) — halves the dominant HBM writes
+                        dv_refs[i][:] = d_in[:tile].astype(dv_refs[i].dtype)
+                        for a in range(n_tan):
+                            dj_refs[jidx][a] = d_in[
+                                (1 + a) * tile : (2 + a) * tile
+                            ].astype(dj_refs[jidx].dtype)
+                    else:
+                        dx, dcrow, dvar, dseeds = _pe_backward(
+                            d_in, caches[i], tile, n_tan
+                        )
+                        dv_refs[i][:] = dx.astype(dv_refs[i].dtype)
+                        if dseeds is not None:
+                            for a in range(n_tan):
+                                dj_refs[jidx][a] = dseeds[a].astype(
+                                    dj_refs[jidx].dtype
+                                )
+                        ai = _write_pe_aux_grads(
+                            daux_refs, ai, caches[i], dcrow, dvar, is_first
+                        )
                 else:
-                    dv_refs[i][:] = _mm_nt(gpre_v, rows).astype(dv_refs[i].dtype)
-                    dw_blocks.append(_mm_tn(v_refs[i][:], gpre_v))
+                    if pe_i is None:
+                        dv_refs[i][:] = _mm_nt(gpre_v, rows).astype(
+                            dv_refs[i].dtype
+                        )
+                        dw_blocks.append(_mm_tn(v_refs[i][:], gpre_v))
+                    else:
+                        d_in = _mm_nt(gpre_v, rows)  # [T, 2DR]
+                        dw_blocks.append(_mm_tn(segv[i], gpre_v))
+                        dx, dcrow, dvar, _ = _pe_backward(
+                            d_in, caches[i], tile, n_tan
+                        )
+                        dv_refs[i][:] = dx.astype(dv_refs[i].dtype)
+                        ai = _write_pe_aux_grads(
+                            daux_refs, ai, caches[i], dcrow, dvar, is_first
+                        )
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
             g_skip = g_skip + _mm_nt(g_stack, w[:c0, :])
@@ -575,16 +869,20 @@ def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, *refs):
 
 
 def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
-                  interpret=False, pres=None, stash_map=None):
+                  interpret=False, pres=None, stash_map=None, pe=None,
+                  pe_aux=(), n_tan=None):
     m = vs[0].shape[0]
-    widths = tuple(v.shape[-1] for v in vs)
+    if pe is None:
+        pe = (None,) * len(vs)
+    widths = tuple(_pe_width(p, v.shape[-1]) for p, v in zip(pe, vs))
     tile = _bwd_tile()
     grid = (m // tile,)
     n_layers = len(weights)
     c_out = weights[-1].shape[-1]
-    n_tan = js[0].shape[0] if js else 3
+    if n_tan is None:
+        n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(widths, has_j, tile, c_out, n_tan)
+    in_specs = _seg_specs(vs, js, pe_aux, tile, n_tan)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -598,27 +896,39 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
             (n_tan, tile, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
     ]
+    # dx cotangents in the primal dtype (bf16 halves HBM traffic) and the
+    # primal (RAW) widths — a PE segment's cotangent is on its raw
+    # [M, D] input, not the expanded encoding; dW/db stay f32 — they
+    # are accumulated across the whole grid
     out_specs = [
-        pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        for w in widths
+        pl.BlockSpec(
+            (tile, v.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        for v in vs
     ]
-    # dx cotangents in the primal dtype (bf16 halves HBM traffic); dW/db
-    # stay f32 — they are accumulated across the whole grid
-    out_shape = [
-        jax.ShapeDtypeStruct((m, w), v.dtype) for w, v in zip(widths, vs)
-    ]
-    j_iter = iter(js)
-    for w, hj in zip(widths, has_j):
-        if hj:
+    out_shape = [jax.ShapeDtypeStruct((m, v.shape[-1]), v.dtype) for v in vs]
+    for j in js:
+        out_specs.append(
+            pl.BlockSpec(
+                (n_tan, tile, j.shape[-1]), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_tan, m, j.shape[-1]), j.dtype))
+    for a in pe_aux:
+        if a.shape[0] == 1:  # crow: grid-accumulated [1, DR]
+            out_specs.append(
+                pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
+        else:  # var: per-row [M, D]
             out_specs.append(
                 pl.BlockSpec(
-                    (n_tan, tile, w), lambda i: (0, i, 0),
+                    (tile, a.shape[-1]), lambda i: (i, 0),
                     memory_space=pltpu.VMEM,
                 )
             )
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_tan, m, w), next(j_iter).dtype)
-            )
+            out_shape.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
     for w in weights:
         out_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -629,7 +939,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_shape.append(jax.ShapeDtypeStruct((w.shape[-1],), jnp.float32))
 
-    args = list(vs) + list(js)
+    args = list(vs) + list(js) + list(pe_aux)
     for w, b in zip(weights, biases):
         args += [w, b]
     args += [gv, gj]
@@ -655,7 +965,8 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     params = pltpu.CompilerParams(vmem_limit_bytes=limit)
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, layout, act_name, has_j, widths, stash_map, n_tan
+            _bwd_kernel, layout, act_name, has_j, widths, stash_map, n_tan,
+            pe, len(pe_aux),
         ),
         grid=grid,
         in_specs=in_specs,
@@ -664,17 +975,18 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
         interpret=interpret,
         compiler_params=None if interpret else params,
     )(*args)
-    n_seg, n_j = len(widths), sum(has_j)
+    n_seg, n_j = len(widths), len(js)
     dvs = tuple(outs[:n_seg])
     djs = tuple(outs[n_seg : n_seg + n_j])
-    rest = outs[n_seg + n_j :]
+    dauxs = tuple(outs[n_seg + n_j : n_seg + n_j + len(pe_aux)])
+    rest = outs[n_seg + n_j + len(pe_aux) :]
     dws = tuple(rest[0::2])
     dbs = tuple(rest[1::2])
-    return dvs, djs, dws, dbs
+    return dvs, djs, dauxs, dws, dbs
 
 
 # ------------------------------------------------------------ public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 10, 11))
 def dual_mlp_seg(
     vs: Tuple[Array, ...],
     js: Tuple[Array, ...],
@@ -685,29 +997,45 @@ def dual_mlp_seg(
     has_j: Tuple[bool, ...],
     out_dtype: str = "float32",
     interpret: bool = False,
+    pe_aux: Tuple[Array, ...] = (),
+    pe=None,
+    n_tan=None,
 ) -> Tuple[Array, Array]:
     """Fused multi-segment dual-MLP.
 
     Args:
         vs: per-segment values, each [M, w_i] (M multiple of TILE_M).
-            Layer 0 behaves as concat(vs, axis=-1) @ W0.
-        js: Jacobian planes [3, M, w_i] for exactly the segments whose
-            ``has_j`` flag is True (in order).
+            Layer 0 behaves as concat(vs, axis=-1) @ W0. For a PE
+            segment (see ``pe``) the entry is the RAW input [M, D]
+            (positions/directions) and the encoding is expanded inside
+            the kernel.
+        js: tangent planes [K, M, w_i] for exactly the segments that
+            consume one (has_j and not an identity-PE segment, in
+            order). For a "dir" PE segment the entry is the RAW
+            per-sample tangent seed [K, M, D].
         weights / biases: per-layer params. A layer with layout True is
             a post-skip layer re-injecting segment 0 (weight rows
             [w_0 + hidden]).
         layout: per-layer is-post-skip flags (layout[0] ignored).
         act_name: activation for every layer.
-        has_j: which segments carry Jacobians.
+        has_j: which segments carry tangent planes.
         out_dtype: dtype of the (v, j) outputs ("float32"/"bfloat16").
         interpret: run the Pallas interpreter (CPU tests).
+        pe_aux: flat tuple of PE aux arrays, per PE segment in order:
+            the constant scale row crow [1, D*rank] if flagged, then
+            the mip variance var [M, D] if flagged.
+        pe: per-segment descriptor, None or (kind, rank, has_crow,
+            has_var) with kind in "id" / "dir" / "plain" — see the
+            in-kernel-PE comment block. Static.
+        n_tan: tangent-plane count K; required when no ``js`` entry
+            exists to infer it from (e.g. a lone identity-PE segment).
 
     Returns:
-        (v [M, C_last], j [3, M, C_last]).
+        (v [M, C_last], j [K, M, C_last]).
     """
     return _run_forward(
         tuple(vs), tuple(js), tuple(weights), tuple(biases), layout, act_name,
-        has_j, out_dtype, interpret,
+        has_j, out_dtype, interpret, pe=pe, pe_aux=tuple(pe_aux), n_tan=n_tan,
     )
 
 
@@ -780,25 +1108,32 @@ class bwd_stash:
         _BWD_STASH[0] = self.prev
 
 
-def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype, interpret):
+def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
+             interpret, pe_aux=(), pe=None, n_tan=None):
     sm = _make_stash_map(len(weights))
     if sm is not None:
         v, j, pres = _run_forward(
             tuple(vs), tuple(js), tuple(weights), tuple(biases), layout,
-            act_name, has_j, out_dtype, interpret, stash_map=sm,
+            act_name, has_j, out_dtype, interpret, stash_map=sm, pe=pe,
+            pe_aux=tuple(pe_aux), n_tan=n_tan,
         )
         return (v, j), (
-            tuple(vs), tuple(js), tuple(weights), tuple(biases), pres
+            tuple(vs), tuple(js), tuple(weights), tuple(biases), pres,
+            tuple(pe_aux),
         )
     out = _run_forward(
         tuple(vs), tuple(js), tuple(weights), tuple(biases), layout, act_name,
-        has_j, out_dtype, interpret,
+        has_j, out_dtype, interpret, pe=pe, pe_aux=tuple(pe_aux), n_tan=n_tan,
     )
-    return out, (tuple(vs), tuple(js), tuple(weights), tuple(biases), None)
+    return out, (
+        tuple(vs), tuple(js), tuple(weights), tuple(biases), None,
+        tuple(pe_aux),
+    )
 
 
-def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
-    vs, js, weights, biases, pres = res
+def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, pe, n_tan,
+             res, g):
+    vs, js, weights, biases, pres, pe_aux = res
     gv, gj = g
     # the stash map is re-derived from the (trace-time) module flags —
     # fwd and bwd are traced under one grad trace, so they agree
@@ -813,13 +1148,14 @@ def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, res, g):
     # gv/gj enter in the kernel OUTPUT dtype (bf16 in production) and dx
     # cotangents leave in the primal input dtypes — no f32 staging arrays
     # on either side of the kernel; only dW/db (tiny) are f32.
-    dvs, djs, dws, dbs = _run_backward(
+    dvs, djs, dauxs, dws, dbs = _run_backward(
         vs, js, weights, biases, layout, act_name, has_j, gv, gj, interpret,
-        pres=pres, stash_map=sm,
+        pres=pres, stash_map=sm, pe=pe, pe_aux=pe_aux, n_tan=n_tan,
     )
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
-    return dvs, djs, dws, dbs
+    dauxs = tuple(d.astype(a.dtype) for d, a in zip(dauxs, pe_aux))
+    return dvs, djs, dws, dbs, dauxs
 
 
 dual_mlp_seg.defvjp(_seg_fwd, _seg_bwd)
