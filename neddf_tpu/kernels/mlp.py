@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from neddf_tpu.kernels.dual_mlp import _act_fns, _mm, _offsets
+from neddf_tpu.kernels.dual_mlp import _act_fns, _mm, _mm_nt, _mm_tn, _offsets
 
 Array = jax.Array
 
@@ -95,26 +95,31 @@ def _bwd_kernel(layout, act_name, widths, *refs):
         gpre = g * df(pres[li])
         db = jnp.sum(gpre, axis=0)
         h_in = f(pres[li - 1]) if li > 0 else None
+        # dW / dx as dot_general with transposed contracting dims — an
+        # explicit .T would spend VPU shuffles per tile per layer
+        # (measured win on the dual kernel, see dual_mlp.py::_mm_tn)
         if li == 0:
             dw_blocks = []
             for i in range(n_seg):
                 rows = w[offs[i] : offs[i] + widths[i], :]
-                d_in = _mm(gpre, rows.T)
+                d_in = _mm_nt(gpre, rows)
                 if i == 0:
                     d_in = d_in + g_skip
                 # input cotangents leave in the primal dtype (bf16 in
                 # production) — halves the HBM write traffic
                 dv_refs[i][:] = d_in.astype(dv_refs[i].dtype)
-                dw_blocks.append(_mm(seg[i].T, gpre))
+                dw_blocks.append(_mm_tn(seg[i], gpre))
             dw = jnp.concatenate(dw_blocks, axis=0)
         elif split:
             ch = h_in.shape[-1]
-            g_skip = g_skip + _mm(gpre, w[ch:, :].T)
-            dw = jnp.concatenate([_mm(h_in.T, gpre), _mm(seg[0].T, gpre)], axis=0)
-            g = _mm(gpre, w[:ch, :].T)
+            g_skip = g_skip + _mm_nt(gpre, w[ch:, :])
+            dw = jnp.concatenate(
+                [_mm_tn(h_in, gpre), _mm_tn(seg[0], gpre)], axis=0
+            )
+            g = _mm_nt(gpre, w[:ch, :])
         else:
-            dw = _mm(h_in.T, gpre)
-            g = _mm(gpre, w.T)
+            dw = _mm_tn(h_in, gpre)
+            g = _mm_nt(gpre, w)
 
         @pl.when(is_first)
         def _(li=li, dw=dw, db=db):
