@@ -85,7 +85,9 @@ def pe_dual(x: Array, rank: int, scale: Optional[Array] = None) -> Array:
     """
     m, input_dim = x.shape
     freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
-    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    # tile-multiply, not [M, R, 3]-reshape — the rank-3 reshape forces
+    # minor-dim layout copies downstream (see ops/pe.py::pe_weights)
+    p = jnp.repeat(freq, input_dim)[None, :] * jnp.tile(x, (1, rank))
     if scale is None:
         scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
     sin_p, cos_p = jnp.sin(p), jnp.cos(p)
@@ -113,7 +115,9 @@ def pe_dual_planes(
     """
     m, input_dim = x.shape
     freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
-    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    # tile-multiply, not [M, R, 3]-reshape — the rank-3 reshape forces
+    # minor-dim layout copies downstream (see ops/pe.py::pe_weights)
+    p = jnp.repeat(freq, input_dim)[None, :] * jnp.tile(x, (1, rank))
     if scale is None:
         scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
     sin_p, cos_p = jnp.sin(p), jnp.cos(p)
@@ -143,7 +147,9 @@ def pe_dual_directional(
     """
     m, input_dim = x.shape
     freq = pe_frequencies(rank, dtype=x.dtype)  # [R]
-    p = (freq[:, None] * x[:, None, :]).reshape(m, rank * input_dim)
+    # tile-multiply, not [M, R, 3]-reshape — the rank-3 reshape forces
+    # minor-dim layout copies downstream (see ops/pe.py::pe_weights)
+    p = jnp.repeat(freq, input_dim)[None, :] * jnp.tile(x, (1, rank))
     if scale is None:
         scale = jnp.ones((1, rank * input_dim), dtype=x.dtype)
     sin_p, cos_p = jnp.sin(p), jnp.cos(p)

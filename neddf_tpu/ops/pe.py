@@ -64,10 +64,16 @@ def pe_weights(diag_variance: Array, rank: int) -> Array:
     Returns:
         [..., R*3] weights exp(-0.5 * freq_t^2 * var_i) in (t, i) layout.
     """
-    freq_sq = jnp.square(pe_frequencies(rank))  # [R]
-    # [..., R, 3] -> [..., R*3]
-    att = jnp.exp(-0.5 * freq_sq[..., :, None] * diag_variance[..., None, :])
-    return att.reshape(*diag_variance.shape[:-1], rank * diag_variance.shape[-1])
+    d = diag_variance.shape[-1]
+    # (t, i) channel layout built by TILE-multiply, not an [..., R, 3]
+    # intermediate + reshape: on TPU the rank-3 reshape forces a
+    # minor-dim layout copy on every [M, 3R] array downstream (measured
+    # ~0.7 ms/step of pure `copy` ops at the flagship shapes); the tile
+    # is a broadcast-gather XLA fuses into the consumer. Values are
+    # bitwise identical (one multiply per element either way).
+    fsq_rep = jnp.repeat(jnp.square(pe_frequencies(rank)), d)[None, :]
+    reps = (1,) * (diag_variance.ndim - 1) + (rank,)
+    return jnp.exp(-0.5 * fsq_rep * jnp.tile(diag_variance, reps))
 
 
 def positional_encoding(
@@ -80,7 +86,9 @@ def positional_encoding(
     """
     input_dim = x.shape[-1]
     freq = pe_frequencies(rank, dtype=x.dtype)
-    p = (freq[:, None] * x[..., None, :]).reshape(*x.shape[:-1], rank * input_dim)
+    # tile-multiply, not [.., R, 3]-reshape — see pe_weights layout note
+    freq_rep = jnp.repeat(freq, input_dim)[None, :]
+    p = freq_rep * jnp.tile(x, (1,) * (x.ndim - 1) + (rank,))
     if scale is not None:
         p_sin = scale * jnp.sin(p)
         p_cos = scale * jnp.cos(p)
