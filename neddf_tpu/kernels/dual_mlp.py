@@ -27,11 +27,24 @@ for a tile of samples inside VMEM:
 * backward is a second kernel that hand-implements the dual chain rule
   including the f'' coupling the reference writes by hand in its custom
   backwards (e.g. with_grad/softplus.py:83-89), accumulating dW/db
-  across the sequential TPU grid. Under a differentiated call the
+  across the sequential TPU grid. Its dW / dx products are expressed as
+  dot_general with TRANSPOSED CONTRACTING DIMS (``_mm_tn``/``_mm_nt``)
+  — materialising ``.T`` operands in-kernel spends VPU shuffles per
+  layer per tile (measured ~0.45 ms/step across the flagship's four
+  backwards). Under a differentiated call the
   forward streams its per-layer pre-activation stacks to HBM and the
   backward reads them back (_BWD_STASH, default); A/B on v5e-1:
   21.6k rays/s stashed vs 20.8k with the per-tile recompute variant,
-  which remains available via ``bwd_stash(False)``.
+  which remains available via ``bwd_stash(False)``. ``stash_stride``
+  selects a gradient-checkpointing middle ground (stash every s-th
+  layer, recompute the rest) — measured SLOWER at the flagship shapes
+  (the full stash overlaps MXU work) but available for
+  memory-constrained configs.
+* segments can be marked as PE segments (``pe`` descriptor): the kernel
+  then takes RAW positions/variance/seeds and expands the encoding
+  in VMEM — verified bitwise vs the XLA-side path, but measured SLOWER
+  on v5e (ships off; see fields/neddf.py::_PE_IN_KERNEL for the A/B
+  and the vreg-occupancy explanation).
 
 Exposed through ``dual_mlp_seg`` (multi-segment) and the single-segment
 convenience wrapper ``dual_mlp``, both with jax.custom_vjp so
@@ -713,9 +726,12 @@ def _bwd_kernel(layout, act_name, has_j, widths, stash_map, n_tan, pe,
     # recompute the rest in VMEM. Within a run of consecutive
     # recomputed layers the replay chains through the f32 `prev_f32`
     # (exactly like the forward), so the all-recompute path reproduces
-    # the all-stash values bitwise; a recomputed layer that FOLLOWS a
+    # the all-stash ARITHMETIC exactly (compiled dot reductions may
+    # still block differently between program variants -> f32-roundoff
+    # deltas, see tests); a recomputed layer that FOLLOWS a
     # stashed one chains from the stash dtype (bf16 in production — the
-    # stride>1 hybrid's only numeric delta, nil in f32 exactness mode).
+    # stride>1 hybrid's only additional numeric delta, nil in f32
+    # exactness mode).
     stash_dt = _MM_DTYPE[0]
     pres = []
     prev_f32 = None  # f32 pre of layer li-1 iff it was recomputed here

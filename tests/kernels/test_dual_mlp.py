@@ -225,3 +225,38 @@ def test_stashed_backward_matches_recompute(setup):
                 np.asarray(a), b, rtol=rtol,
                 atol=rtol * max(1e-6, float(np.abs(b).max())),
             )
+
+
+def test_stash_stride_matches_full_stash(setup):
+    """stash_stride(s) stashes every s-th layer's pre-activations and
+    recomputes the rest in the backward. In f32 exactness mode the
+    recomputed values replay the forward arithmetic exactly, but the
+    compiled dot reductions block differently across program variants
+    (same reason test_stashed_backward_matches_recompute is not
+    bitwise), so compare at f32-roundoff tolerance — for every stride,
+    incl. one larger than the layer count (= only layer 0 stashed)."""
+    v0, j0, weights, biases = setup
+
+    def loss(v0, j0, weights, biases):
+        v, j = kernel_fn(v0, j0, weights, biases)
+        return jnp.sum(jnp.sin(v)) + jnp.sum(j * j)
+
+    with matmul_dtype(jnp.float32):
+        with K.stash_stride(1):
+            g_full = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                v0, j0, weights, biases
+            )
+        for stride in (2, 3, 99):
+            with K.stash_stride(stride):
+                g_s = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                    v0, j0, weights, biases
+                )
+            for a, b in zip(
+                jax.tree_util.tree_leaves(g_full),
+                jax.tree_util.tree_leaves(g_s),
+            ):
+                b = np.asarray(b)
+                np.testing.assert_allclose(
+                    np.asarray(a), b, rtol=2e-5,
+                    atol=2e-5 * max(1e-6, float(np.abs(b).max())),
+                )
