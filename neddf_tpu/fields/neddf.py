@@ -310,13 +310,21 @@ class NeDDF(BaseField):
         (PE(dir), normal) skip the tangent matmuls entirely. With a
         ``pe`` descriptor the PE segments arrive as RAW pos/dir [M, 3]
         and expand inside the kernel."""
-        from neddf_tpu.kernels.dual_mlp import dual_mlp_seg, pad_rows
+        from neddf_tpu.kernels.dual_mlp import (
+            _aux_kinds,
+            dual_mlp_seg,
+            pad_rows,
+        )
 
         m = vs[0].shape[0]
         vs_p = tuple(pad_rows(v)[0] for v in vs)
         js_p = tuple(pad_rows(j, axis=1)[0] for j in js)
+        # crow rows are replicated per grid step; var arrays pad/slice
+        # with the sample rows (classified by DESCRIPTOR, not shape)
+        kinds = _aux_kinds(pe)
         aux_p = tuple(
-            a if a.shape[0] == 1 else pad_rows(a)[0] for a in pe_aux
+            a if k == "crow" else pad_rows(a)[0]
+            for a, k in zip(pe_aux, kinds)
         )
         weights = tuple(l["w"] for l in params["layers_col"])
         biases = tuple(l["b"] for l in params["layers_col"])
@@ -330,13 +338,54 @@ class NeDDF(BaseField):
                 weights, biases, layout, self.activation_type,
                 (True, False, False, True), self._kernel_out_dtype(), interp,
                 pe_aux=tuple(
-                    a if a.shape[0] == 1 else a[lo:hi] for a in aux_p
+                    a if k == "crow" else a[lo:hi]
+                    for a, k in zip(aux_p, kinds)
                 ),
                 pe=pe,
             )
 
         v, j = self._chunked_kernel(call, vs_p[0].shape[0], self._KERNEL_ROW_CAP)
         return v[:m], j[:, :m]
+
+    def _directional_color(
+        self, params, pos, direction, norm_dir, v_feat, t_feat_dir,
+        t_feat, lowpass, var, cast,
+    ):
+        """K=1 directional color branch shared by the epilogue and
+        non-epilogue fused paths: color trunk on [PE(pos) directional
+        dual, PE(dir), sg-normal, features] + the [C, 3] output head.
+        ``norm_dir`` must arrive stop-gradiented; ``t_feat_dir`` is the
+        (stop-grad) tangent direction, ``t_feat`` the feature-tangent
+        seed. Returns (color [M, 3], color_t [M, 3])."""
+        if _PE_IN_KERNEL[0] == "both":
+            # PE(pos) directional dual + PE(dir) expand IN-KERNEL from
+            # the raw pos/dir/seed/var (kernels/dual_mlp.py)
+            vs = (pos, direction, cast(norm_dir), v_feat)
+            js = (t_feat_dir[None], t_feat[None])  # K=1 tangent planes
+            hc_v, hc_t = self._color_fused_planes(
+                params, vs, js,
+                pe=(
+                    ("dir", self.embed_pos_rank, True, True),
+                    ("plain", self.embed_dir_rank, False, False),
+                    None,
+                    None,
+                ),
+                pe_aux=(lowpass, var),
+            )
+        else:
+            w_mip = pe_weights(var, self.embed_pos_rank)
+            embed_dir = positional_encoding(direction, self.embed_dir_rank)
+            ep_v2, ep_t = pe_dual_directional(
+                pos, self.embed_pos_rank, t_feat_dir, lowpass * w_mip
+            )
+            vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
+            js = (cast(ep_t)[None], t_feat[None])
+            hc_v, hc_t = self._color_fused_planes(params, vs, js)
+        w_co = cast(params["layer_col_out"]["w"])
+        b_co = cast(params["layer_col_out"]["b"])
+        color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
+        color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
+        return color, color_t
 
     def _apply_fused_epilogue(
         self, params, sched, pos, direction, var, lowpass,
@@ -405,32 +454,10 @@ class NeDDF(BaseField):
         t_feat = t_feat[:m]
 
         # ---- K=1 directional color branch ----
-        if _PE_IN_KERNEL[0] == "both":
-            vs = (pos, direction, cast(norm_dir), v_feat)
-            js = (t_dir[None], t_feat[None])
-            hc_v, hc_t = self._color_fused_planes(
-                params, vs, js,
-                pe=(
-                    ("dir", self.embed_pos_rank, True, True),
-                    ("plain", self.embed_dir_rank, False, False),
-                    None,
-                    None,
-                ),
-                pe_aux=(lowpass, var),
-            )
-        else:
-            w_mip = pe_weights(var, self.embed_pos_rank)
-            embed_dir = positional_encoding(direction, self.embed_dir_rank)
-            ep_v2, ep_t = pe_dual_directional(
-                pos, self.embed_pos_rank, t_dir, lowpass * w_mip
-            )
-            vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
-            js = (cast(ep_t)[None], t_feat[None])
-            hc_v, hc_t = self._color_fused_planes(params, vs, js)
-        w_co = cast(params["layer_col_out"]["w"])
-        b_co = cast(params["layer_col_out"]["b"])
-        color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
-        color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
+        color, color_t = self._directional_color(
+            params, pos, direction, norm_dir, v_feat, t_dir, t_feat,
+            lowpass, var, cast,
+        )
 
         p_range_color = jnp.sum(
             jnp.square(relu(-color) + relu(color - 1.0)), axis=1
@@ -629,38 +656,10 @@ class NeDDF(BaseField):
             t_feat = jnp.sum(
                 j_feat * cast(t_dir).T[:, :, None], axis=0
             )  # [M, C]
-            if _PE_IN_KERNEL[0] == "both":
-                # PE(pos) directional dual + PE(dir) expand IN-KERNEL
-                # from the raw pos/dir/seed/var (kernels/dual_mlp.py)
-                vs = (pos, direction, cast(sg(norm_dir)), v_feat)
-                js = (t_dir[None], t_feat[None])  # K=1 tangent planes
-                hc_v, hc_t = self._color_fused_planes(
-                    params, vs, js,
-                    pe=(
-                        ("dir", self.embed_pos_rank, True, True),
-                        ("plain", self.embed_dir_rank, False, False),
-                        None,
-                        None,
-                    ),
-                    pe_aux=(lowpass, var),
-                )
-            else:
-                w_mip = pe_weights(var, self.embed_pos_rank)
-                embed_dir = positional_encoding(
-                    direction, self.embed_dir_rank
-                )
-                ep_v2, ep_t = pe_dual_directional(
-                    pos, self.embed_pos_rank, t_dir, lowpass * w_mip
-                )
-                vs = (
-                    cast(ep_v2), cast(embed_dir), cast(sg(norm_dir)), v_feat
-                )
-                js = (cast(ep_t)[None], t_feat[None])
-                hc_v, hc_t = self._color_fused_planes(params, vs, js)
-            w_co = cast(params["layer_col_out"]["w"])
-            b_co = cast(params["layer_col_out"]["b"])
-            color = (hc_v @ w_co + b_co).astype(jnp.float32)  # [M, 3]
-            color_t = (hc_t[0] @ w_co).astype(jnp.float32)  # [M, 3]
+            color, color_t = self._directional_color(
+                params, pos, direction, sg(norm_dir), v_feat, t_dir,
+                t_feat, lowpass, var, cast,
+            )
         else:
             weights = pe_weights(var, self.embed_pos_rank)
             embed_dir = positional_encoding(direction, self.embed_dir_rank)

@@ -552,7 +552,23 @@ def _fwd_kernel(layout, act_name, has_j, widths, out_dtype, stash_map,
         jo_ref[a] = h[(1 + a) * tile : (2 + a) * tile].astype(out_dtype)
 
 
-def _seg_specs(vs, js, pe_aux, tile, n_tan):
+def _aux_kinds(pe):
+    """Flat pe_aux entry kinds ("crow"/"var") from the descriptors —
+    the classification must NOT depend on runtime shapes (a degenerate
+    one-row batch would make a [1, D] var look like a crow row)."""
+    kinds = []
+    for pe_i in pe or ():
+        if pe_i is None:
+            continue
+        _, _, has_crow, has_var = pe_i
+        if has_crow:
+            kinds.append("crow")
+        if has_var:
+            kinds.append("var")
+    return kinds
+
+
+def _seg_specs(vs, js, pe_aux, tile, n_tan, pe=None):
     """Input block specs for the segment values, explicit tangent
     planes, and PE aux arrays (crow rows [1, DR] are replicated per
     grid step; var arrays [M, D] stream per row-tile)."""
@@ -569,8 +585,8 @@ def _seg_specs(vs, js, pe_aux, tile, n_tan):
         )
         for j in js
     ]
-    for a in pe_aux:
-        if a.shape[0] == 1:
+    for a, kind in zip(pe_aux, _aux_kinds(pe)):
+        if kind == "crow":
             in_specs.append(
                 pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             )
@@ -602,7 +618,7 @@ def _run_forward(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
     if n_tan is None:
         n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(vs, js, pe_aux, TILE_M, n_tan)
+    in_specs = _seg_specs(vs, js, pe_aux, TILE_M, n_tan, pe)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -898,7 +914,7 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
     if n_tan is None:
         n_tan = js[0].shape[0] if js else 3
 
-    in_specs = _seg_specs(vs, js, pe_aux, tile, n_tan)
+    in_specs = _seg_specs(vs, js, pe_aux, tile, n_tan, pe)
     for w in weights:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -931,8 +947,8 @@ def _run_backward(vs, js, weights, biases, layout, act_name, has_j, gv, gj,
             )
         )
         out_shape.append(jax.ShapeDtypeStruct((n_tan, m, j.shape[-1]), j.dtype))
-    for a in pe_aux:
-        if a.shape[0] == 1:  # crow: grid-accumulated [1, DR]
+    for a, kind in zip(pe_aux, _aux_kinds(pe)):
+        if kind == "crow":  # grid-accumulated [1, DR]
             out_specs.append(
                 pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             )
@@ -1133,8 +1149,14 @@ def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
             act_name, has_j, out_dtype, interpret, stash_map=sm, pe=pe,
             pe_aux=tuple(pe_aux), n_tan=n_tan,
         )
+        # the stash MAP rides in the residual pytree STRUCTURE (dict
+        # keys are static), so the backward uses exactly the forward's
+        # map even if the trace-time stride/stash flags change between
+        # the two traces — no silent mismatch is possible.
+        stashed = [li for li in range(len(weights)) if sm[li]]
+        pres_dict = {f"{li:03d}": p for li, p in zip(stashed, pres)}
         return (v, j), (
-            tuple(vs), tuple(js), tuple(weights), tuple(biases), pres,
+            tuple(vs), tuple(js), tuple(weights), tuple(biases), pres_dict,
             tuple(pe_aux),
         )
     out = _run_forward(
@@ -1149,18 +1171,17 @@ def _seg_fwd(vs, js, weights, biases, layout, act_name, has_j, out_dtype,
 
 def _seg_bwd(layout, act_name, has_j, out_dtype, interpret, pe, n_tan,
              res, g):
-    vs, js, weights, biases, pres, pe_aux = res
+    vs, js, weights, biases, pres_dict, pe_aux = res
     gv, gj = g
-    # the stash map is re-derived from the (trace-time) module flags —
-    # fwd and bwd are traced under one grad trace, so they agree
-    sm = _make_stash_map(len(weights)) if pres is not None else None
-    if pres is not None and (sm is None or sum(sm) != len(pres)):
-        raise RuntimeError(
-            "bwd_stash/stash_stride flipped between the forward and "
-            "backward trace of one grad program — wrap the whole "
-            "differentiated call in a single context (see bwd_stash "
-            "docstring)"
+    if pres_dict is not None:
+        # reconstruct the forward's stash map from the residual keys
+        stashed = sorted(pres_dict)
+        sm = tuple(
+            f"{li:03d}" in pres_dict for li in range(len(weights))
         )
+        pres = tuple(pres_dict[k] for k in stashed)
+    else:
+        sm, pres = None, None
     # gv/gj enter in the kernel OUTPUT dtype (bf16 in production) and dx
     # cotangents leave in the primal input dtypes — no f32 staging arrays
     # on either side of the kernel; only dW/db (tiny) are f32.

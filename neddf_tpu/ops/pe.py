@@ -66,12 +66,13 @@ def pe_weights(diag_variance: Array, rank: int) -> Array:
     """
     d = diag_variance.shape[-1]
     # (t, i) channel layout built by TILE-multiply, not an [..., R, 3]
-    # intermediate + reshape: on TPU the rank-3 reshape forces a
-    # minor-dim layout copy on every [M, 3R] array downstream (measured
-    # ~0.7 ms/step of pure `copy` ops at the flagship shapes); the tile
-    # is a broadcast-gather XLA fuses into the consumer. Values are
-    # bitwise identical (one multiply per element either way).
-    fsq_rep = jnp.repeat(jnp.square(pe_frequencies(rank)), d)[None, :]
+    # intermediate + reshape: the rank-3 reshape pattern lowers worse on
+    # TPU; the tile is a broadcast-gather XLA fuses into the consumer.
+    # Values are bitwise identical (one multiply per element either
+    # way). freq factor broadcast preserves leading dims (1-D in ->
+    # 1-D out, per the shape contract above).
+    fsq_rep = jnp.repeat(jnp.square(pe_frequencies(rank)), d)
+    fsq_rep = fsq_rep.reshape((1,) * (diag_variance.ndim - 1) + (rank * d,))
     reps = (1,) * (diag_variance.ndim - 1) + (rank,)
     return jnp.exp(-0.5 * fsq_rep * jnp.tile(diag_variance, reps))
 
@@ -87,7 +88,9 @@ def positional_encoding(
     input_dim = x.shape[-1]
     freq = pe_frequencies(rank, dtype=x.dtype)
     # tile-multiply, not [.., R, 3]-reshape — see pe_weights layout note
-    freq_rep = jnp.repeat(freq, input_dim)[None, :]
+    freq_rep = jnp.repeat(freq, input_dim).reshape(
+        (1,) * (x.ndim - 1) + (rank * input_dim,)
+    )
     p = freq_rep * jnp.tile(x, (1,) * (x.ndim - 1) + (rank,))
     if scale is not None:
         p_sin = scale * jnp.sin(p)
