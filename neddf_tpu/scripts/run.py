@@ -88,7 +88,16 @@ def _supervised(argv, stale_seconds: float) -> None:
                     "--resume", str(run_dir)]
         return first_cmd
 
-    raise SystemExit(supervise(build_cmd, run_dir, stale_seconds))
+    # backend-health probe before every relaunch: a tiny subprocess
+    # that initialises the backend and exits. While it fails (e.g. the
+    # TPU tunnel is down — observed live: the relay process dies when
+    # the orchestrator transport drops and every client then blocks
+    # forever in backend init), the supervisor backs off instead of
+    # burning startup-grace windows on doomed resume incarnations.
+    probe_cmd = [sys.executable, "-c", "import jax; jax.devices()"]
+    raise SystemExit(
+        supervise(build_cmd, run_dir, stale_seconds, probe_cmd=probe_cmd)
+    )
 
 
 def main(argv=None) -> None:

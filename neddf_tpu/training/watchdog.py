@@ -83,6 +83,49 @@ def has_checkpoint(run_dir: Path) -> bool:
     )
 
 
+def _wait_for_backend(
+    probe_cmd: Sequence[str],
+    probe_timeout: float,
+    probe_backoff: float,
+    max_probe_waits: int,
+) -> None:
+    """Block until ``probe_cmd`` exits 0 within ``probe_timeout``.
+
+    Guards relaunches against a DEAD backend (observed live: the TPU
+    tunnel relay process exits when the orchestrator transport drops;
+    after that every client blocks forever in backend init, so each
+    resume incarnation would burn a full startup grace). A probe
+    subprocess that initialises the backend and exits (e.g.
+    ``python -c "import jax; jax.devices()"``) distinguishes
+    backend-down from child-hung cheaply; while it fails, the
+    supervisor sleeps ``probe_backoff`` between attempts instead of
+    launching doomed children."""
+    for attempt in range(max_probe_waits):
+        try:
+            rc = subprocess.run(
+                list(probe_cmd),
+                timeout=probe_timeout,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt:
+                print("[watchdog] backend probe OK", flush=True)
+            return
+        print(
+            f"[watchdog] backend probe failed (attempt {attempt + 1}/"
+            f"{max_probe_waits}); backend down? retrying in "
+            f"{probe_backoff:.0f}s",
+            flush=True,
+        )
+        time.sleep(probe_backoff)
+    raise RuntimeError(
+        f"[watchdog] backend unreachable after {max_probe_waits} probes"
+    )
+
+
 def supervise(
     build_cmd: Callable[[bool], Sequence[str]],
     run_dir: Path,
@@ -91,6 +134,10 @@ def supervise(
     max_restarts: int = 10,
     grace_seconds: float = 5.0,
     startup_grace_seconds: Optional[float] = None,
+    probe_cmd: Optional[Sequence[str]] = None,
+    probe_timeout: float = 300.0,
+    probe_backoff: float = 300.0,
+    max_probe_waits: int = 24,
 ) -> int:
     """Run ``build_cmd(resume)`` under stall supervision.
 
@@ -110,6 +157,10 @@ def supervise(
             incarnation has produced no writes yet — first-epoch XLA
             compiles on a loaded host can exceed stale_seconds without
             being hung. Default 3x stale_seconds.
+        probe_cmd: optional backend-health command run before every
+            RELAUNCH (see _wait_for_backend); a relaunch waits with
+            backoff while it fails instead of counting restarts.
+        probe_timeout / probe_backoff / max_probe_waits: probe limits.
 
     A kill/crash only restarts with resume once a checkpoint actually
     exists in the run dir; earlier incarnations restart fresh (resuming
@@ -121,7 +172,13 @@ def supervise(
     if startup_grace_seconds is None:
         startup_grace_seconds = 3.0 * stale_seconds
     restarts = 0
+    first = True
     while True:
+        if not first and probe_cmd is not None:
+            _wait_for_backend(
+                probe_cmd, probe_timeout, probe_backoff, max_probe_waits
+            )
+        first = False
         resume = has_checkpoint(run_dir)
         cmd: List[str] = list(build_cmd(resume))
         start = time.time()

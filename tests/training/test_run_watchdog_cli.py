@@ -9,11 +9,12 @@ import neddf_tpu.scripts.run as run_mod
 def test_watchdog_flag_builds_supervised_commands(monkeypatch, tmp_path):
     captured = {}
 
-    def fake_supervise(build_cmd, run_dir, stale_seconds):
+    def fake_supervise(build_cmd, run_dir, stale_seconds, **kw):
         captured["run_dir"] = run_dir
         captured["stale"] = stale_seconds
         captured["fresh"] = build_cmd(False)
         captured["resume"] = build_cmd(True)
+        captured["probe"] = kw.get("probe_cmd")
         return 0
 
     monkeypatch.setattr(
@@ -35,14 +36,18 @@ def test_watchdog_flag_builds_supervised_commands(monkeypatch, tmp_path):
     assert "--watchdog" not in fresh  # child must not recurse
     resume = captured["resume"]
     assert resume[-2:] == ["--resume", str(captured["run_dir"])]
+    # backend-health probe wired in: a tiny jax-devices subprocess
+    probe = captured["probe"]
+    assert probe[0] == sys.executable and "jax" in probe[-1]
 
 
 def test_watchdog_default_window_and_resume_mode(monkeypatch, tmp_path):
     captured = {}
 
-    def fake_supervise(build_cmd, run_dir, stale_seconds):
+    def fake_supervise(build_cmd, run_dir, stale_seconds, **kw):
         captured["stale"] = stale_seconds
         captured["first"] = build_cmd(False)
+        captured["probe"] = kw.get("probe_cmd")
         return 0
 
     monkeypatch.setattr(

@@ -164,3 +164,68 @@ def test_has_checkpoint(tmp_path):
     (tmp_path / "models" / "model_00100.ckpt").unlink()
     (tmp_path / "models" / "100").mkdir()  # orbax step dir
     assert has_checkpoint(tmp_path)
+
+
+def test_watchdog_probe_gates_relaunch(tmp_path):
+    """With probe_cmd set, a relaunch after a stall must wait for the
+    probe to succeed (simulating the dead-tunnel failure mode where the
+    backend is unreachable): the probe fails until a flag file exists,
+    which the second probe attempt's backoff window lets us create."""
+    run_dir = tmp_path / "run"
+    build_cmd = _child_cmd(tmp_path, run_dir)
+    flag = tmp_path / "backend_up.txt"
+    probe_script = tmp_path / "probe.py"
+    probe_script.write_text(
+        textwrap.dedent(
+            f"""
+            import sys
+            from pathlib import Path
+            flag = Path({str(flag)!r})
+            if not flag.exists():
+                flag.write_text("up")  # next probe attempt succeeds
+                sys.exit(1)
+            sys.exit(0)
+            """
+        )
+    )
+    t0 = time.time()
+    rc = supervise(
+        build_cmd,
+        run_dir,
+        stale_seconds=2.0,
+        poll_seconds=0.1,
+        # generous: interpreter startup itself can take seconds when
+        # the site hook probes a dead backend
+        startup_grace_seconds=60.0,
+        grace_seconds=0.0,
+        probe_cmd=[sys.executable, str(probe_script)],
+        probe_timeout=10.0,
+        probe_backoff=0.5,
+        max_probe_waits=5,
+    )
+    assert rc == 0
+    assert (run_dir / "done.txt").exists()
+    incarnations = (run_dir / "incarnations.txt").read_text().split()
+    assert incarnations == ["fresh", "resume"]
+    # the failed first probe forced at least one backoff sleep
+    assert time.time() - t0 >= 0.5
+    assert flag.exists()
+
+
+def test_watchdog_gives_up_when_backend_stays_down(tmp_path):
+    """All probes failing must raise instead of looping forever."""
+    run_dir = tmp_path / "run"
+    build_cmd = _child_cmd(tmp_path, run_dir)
+    with pytest.raises(RuntimeError, match="backend unreachable"):
+        supervise(
+            build_cmd,
+            run_dir,
+            stale_seconds=2.0,
+            poll_seconds=0.1,
+            startup_grace_seconds=60.0,
+            grace_seconds=0.0,
+            probe_cmd=[sys.executable, "-c", "raise SystemExit(1)"],
+            probe_timeout=10.0,
+            probe_backoff=0.05,
+            max_probe_waits=3,
+        )
