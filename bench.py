@@ -42,7 +42,46 @@ TARGET = 2.0 * REF_A100_RAYS_PER_SEC
 BATCH_SIZE = 512
 
 
+def _backend_reachable(timeout: float = 300.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout.
+
+    The TPU tunnel has a failure mode where the relay dies and
+    jax.devices() blocks forever (CLAUDE.md known issues); without this
+    guard the benchmark would hang instead of reporting. The probe
+    inherits the environment, so it initialises the same backend this
+    process would."""
+    import subprocess
+    import sys
+
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        return False
+    return rc == 0
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "neddf_train_rays_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": "backend unreachable (TPU tunnel down) — "
+                             "no measurement taken; see CLAUDE.md known "
+                             "issues",
+                }
+            )
+        )
+        return
+
     from neddf_tpu.geometry import PinholeCalib
     from neddf_tpu.render import NeRFRender
     from neddf_tpu.training.losses import (
