@@ -153,3 +153,45 @@ def test_losses_match_reference(ours_cls, ref_name, out_key, tgt_key,
             np.asarray(got[k]), ref[k].numpy(), rtol=1e-5, atol=1e-7,
             err_msg=k,
         )
+
+
+def test_sample_pdf_matches_reference(torch_render, monkeypatch):
+    """Inverse-CDF hierarchical sampling vs the reference, with the SAME
+    uniforms injected on both sides (torch.rand monkeypatched to return
+    the draws our jax key produces): pins the +1e-2 floor, the
+    cat_coarse=False 3-tap max-pool blur, searchsorted/interp semantics
+    and the final re-sort, for both cat_coarse modes."""
+    import jax
+    import torch
+
+    from neddf_tpu.ops.sampling import sample_pdf
+
+    rng = np.random.default_rng(17)
+    B, S, F = 4, 16, 24
+    dists = np.sort(
+        rng.uniform(0.5, 6.0, (B, S)).astype(np.float32), axis=1
+    )
+    weights = rng.uniform(0.0, 1.0, (B, S - 1)).astype(np.float32)
+
+    key = jax.random.PRNGKey(17)
+    u = np.asarray(jax.random.uniform(key, (B, F), dtype=jnp.float32))
+    monkeypatch.setattr(
+        torch, "rand", lambda *s, **k: torch.from_numpy(u.copy())
+    )
+
+    for cat_coarse in (True, False):
+        ref = torch_render.sample_pdf(
+            torch.from_numpy(dists.copy()),
+            torch.from_numpy(weights.copy()),  # reference mutates in place
+            F,
+            cat_coarse=cat_coarse,
+        )
+        ours = sample_pdf(
+            key, jnp.asarray(dists), jnp.asarray(weights), F,
+            cat_coarse=cat_coarse,
+        )
+        assert ours.shape == tuple(ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=f"cat_coarse={cat_coarse}",
+        )
