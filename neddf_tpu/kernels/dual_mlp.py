@@ -157,6 +157,19 @@ def _act_fns(name: str):
             return jnp.where(x > 20.0, 0.0, s * (1.0 - s))
 
         return f, df, ddf
+    if name == "Sigmoid":
+        def f(x):
+            return jax.nn.sigmoid(x)
+
+        def df(x):
+            s = jax.nn.sigmoid(x)
+            return s * (1.0 - s)
+
+        def ddf(x):
+            s = jax.nn.sigmoid(x)
+            return s * (1.0 - s) * (1.0 - 2.0 * s)
+
+        return f, df, ddf
     raise ValueError(f"unsupported activation {name!r}")
 
 
