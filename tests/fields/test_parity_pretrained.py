@@ -169,3 +169,26 @@ def test_train_schedule_outputs_match_reference(reference_net, jax_setup, rng):
     np.testing.assert_allclose(
         np.asarray(out["color"]), ref["color"].numpy(), rtol=1e-3, atol=2e-3
     )
+
+
+def test_voxelize_matches_reference(reference_net, jax_setup):
+    """BaseNeuralField.voxelize parity on the pretrained checkpoint:
+    same meshgrid-'xy' lattice ordering, same chunking, same distance
+    volume — the input to the meshing pipeline (reference
+    base_neuralfield.py:49-79 feeding fields_visualizer's marching
+    cubes + voxel cache)."""
+    from neddf_tpu.fields.base import voxelize
+
+    renderer, params = jax_setup
+    field = renderer.network_fine
+
+    ref_vol = reference_net.voxelize(
+        field_name="distance", cube_range=1.1, cube_resolution=12,
+        chunk=500,
+    )
+    got_vol = voxelize(
+        field, params["network_fine"], field_name="distance",
+        cube_range=1.1, cube_resolution=12, chunk=500,
+    )
+    assert got_vol.shape == ref_vol.shape
+    np.testing.assert_allclose(got_vol, ref_vol, rtol=1e-3, atol=2e-4)
