@@ -64,6 +64,13 @@ class NeuS(BaseField):
     #     (NeDDF is the opposite case: it consumes the FULL feature
     #     Jacobian, where forward-mode wins.) Kept as a documented,
     #     tested alternative — mode choice is per-field, not global.
+    #   "sweep" — the fused reverse-sweep kernel (kernels/sdf_mlp.py):
+    #     trunk + the single-channel reverse pass VMEM-resident with a
+    #     hand-written second-order VJP — the right transposition AND
+    #     fused. Exactly equivalent (tests/fields/test_neus_dual_normals
+    #     .py + tests/kernels/test_sdf_mlp.py); NOT yet benchmarked on
+    #     v5e (tunnel outage — see kernels/sdf_mlp.py STATUS), so the
+    #     measured "reverse" stays the default until an A/B lands.
     normals: str = "reverse"
     # shard_map tensor parallelism (see fields/base.py::tp_gather)
     tp_axis: Optional[str] = None
@@ -86,13 +93,61 @@ class NeuS(BaseField):
             return False
         if self.normals == "dual":
             return True
-        if self.normals == "reverse":
+        if self.normals in ("reverse", "sweep"):
             return False
         if self.normals != "auto":
             raise ValueError(f"unknown normals mode {self.normals!r}")
         # auto = reverse: measured faster for a 1-channel gradient (see
         # the ``normals`` field comment)
         return False
+
+    def _use_sweep_normals(self) -> bool:
+        return self.normals == "sweep" and self.tp_axis is None
+
+    def _trunk_sweep(self, params, pos: Array):
+        """SDF trunk + channel-0 gradient via the fused reverse-sweep
+        kernel (kernels/sdf_mlp.py): the trunk and its single-channel
+        reverse pass run VMEM-resident, with a hand-written second-order
+        VJP; normals chain from PE channels to positions with the
+        channel-sparse contraction (ops/sdf_grad.py::pe_chain_to_pos).
+        CPU-verified vs the reverse-mode path; not yet benchmarked on
+        v5e (see kernels/sdf_mlp.py STATUS)."""
+        from neddf_tpu.kernels.dual_mlp import pad_rows
+        from neddf_tpu.kernels.sdf_mlp import TILE_M, sdf_mlp
+        from neddf_tpu.ops.sdf_grad import pe_chain_to_pos
+
+        embed_pos = positional_encoding(pos, self.embed_pos_rank)
+        w_hidden = self.sdf_layer_width
+        weights, biases, layout = [], [], []
+        for li, layer in enumerate(params["layers_sdf"]):
+            w = layer["w"]
+            split = (li - 1) in self.skips
+            # kernel layout is [hidden, embed] — same as our trunk's
+            # concat order (neus.py:135-137), so rows pass through
+            weights.append(w)
+            biases.append(layer["b"])
+            layout.append(split)
+        interp = jax.default_backend() != "tpu"
+
+        e0, m = pad_rows(embed_pos, TILE_M)
+
+        def call(lo, hi):
+            return sdf_mlp(
+                e0[lo:hi], tuple(weights), tuple(biases), tuple(layout),
+                self.activation_type, "float32", interp,
+            )
+
+        cap = self._KERNEL_ROW_CAP
+        mp = e0.shape[0]
+        if mp <= cap:
+            h, gE = call(0, mp)
+        else:
+            outs = [call(lo, min(lo + cap, mp)) for lo in range(0, mp, cap)]
+            h = jnp.concatenate([o[0] for o in outs], axis=0)
+            gE = jnp.concatenate([o[1] for o in outs], axis=0)
+        sdf_feature = h[:m]
+        gradients = pe_chain_to_pos(gE[:m], pos, self.embed_pos_rank)
+        return sdf_feature, gradients
 
     @property
     def input_sdf_dim(self) -> int:
@@ -188,6 +243,8 @@ class NeuS(BaseField):
 
         if self._use_dual_normals():
             sdf_feature, gradients = self._trunk_dual(params, pos)
+        elif self._use_sweep_normals():
+            sdf_feature, gradients = self._trunk_sweep(params, pos)
         else:
             def trunk(p: Array) -> Array:
                 embed_pos = positional_encoding(p, self.embed_pos_rank)

@@ -61,3 +61,51 @@ def test_dual_normals_outer_gradients_match(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+@pytest.fixture(scope="module")
+def sweep_setup(setup):
+    field_rev, _, params, samp = setup
+    field_sweep = NeuS(
+        embed_pos_rank=4, embed_dir_rank=2, sdf_layer_count=4,
+        sdf_layer_width=32, col_layer_count=3, col_layer_width=32,
+        skips=(1,), normals="sweep", fused="off",
+    )
+    return field_rev, field_sweep, params, samp
+
+
+def test_sweep_normals_match_reverse(sweep_setup):
+    """normals="sweep" (fused reverse-sweep kernel, kernels/sdf_mlp.py)
+    == reverse-mode through the plain trunk, values and outputs."""
+    field_rev, field_sweep, params, samp = sweep_setup
+    with matmul_dtype(jnp.float32):
+        out_r = field_rev.apply(params, samp, None)
+        out_s = field_sweep.apply(params, samp, None)
+    for k in ("sdf", "density", "color"):
+        np.testing.assert_allclose(
+            np.asarray(out_r[k]), np.asarray(out_s[k]), rtol=1e-4,
+            atol=1e-5, err_msg=k,
+        )
+
+
+def test_sweep_normals_outer_gradients_match(sweep_setup):
+    """Second order: outer loss gradients through the sweep kernel's
+    hand-written VJP == through jax's reverse-over-reverse."""
+    field_rev, field_sweep, params, samp = sweep_setup
+
+    def loss(field, p):
+        out = field.apply(p, samp, None)
+        return (jnp.mean(jnp.square(out["color"])) +
+                jnp.mean(out["density"]) + jnp.mean(out["sdf"]))
+
+    with matmul_dtype(jnp.float32):
+        gr = jax.grad(lambda p: loss(field_rev, p))(params)
+        gs = jax.grad(lambda p: loss(field_sweep, p))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gs)
+    ):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=3e-5,
+            atol=3e-5,
+        )
