@@ -14,6 +14,7 @@ Usage (TPU):
     python tools/ab_flagship.py bwd_stash on off
     python tools/ab_flagship.py epilogue on off
     python tools/ab_flagship.py baseline        # single measurement
+    python tools/ab_flagship.py neus_normals reverse sweep dual
 """
 from __future__ import annotations
 
@@ -29,6 +30,29 @@ import optax
 B = 512
 
 
+NEDDF_CFG = {
+    "_target_": "neddf_tpu.fields.NeDDF",
+    "embed_pos_rank": 10, "embed_dir_rank": 4,
+    "ddf_layer_count": 8, "ddf_layer_width": 256,
+    "col_layer_count": 4, "col_layer_width": 256,
+    "d_near": 0.001, "compute_dtype": "bfloat16",
+    "penalty_weight": {
+        "constraints_aux_grad": 0.05, "constraints_dDdt": 1.0,
+        "constraints_color": 0.0001, "range_distance": 1.0,
+        "range_aux_grad": 1.0, "range_color": 0.1,
+    },
+}
+# the reference neus config shapes (config/network/neus.yaml)
+NEUS_CFG_BASE = {
+    "_target_": "neddf_tpu.fields.NeuS",
+    "embed_pos_rank": 6, "embed_dir_rank": 4,
+    "sdf_layer_count": 8, "sdf_layer_width": 256,
+    "col_layer_count": 8, "col_layer_width": 256,
+}
+
+_NET_CFG = [dict(NEDDF_CFG)]  # knob-selected network config
+
+
 def _build():
     from neddf_tpu.geometry import PinholeCalib
     from neddf_tpu.geometry.se3 import camera_pose
@@ -40,25 +64,16 @@ def _build():
     )
 
     renderer = NeRFRender(
-        network_config={
-            "_target_": "neddf_tpu.fields.NeDDF",
-            "embed_pos_rank": 10, "embed_dir_rank": 4,
-            "ddf_layer_count": 8, "ddf_layer_width": 256,
-            "col_layer_count": 4, "col_layer_width": 256,
-            "d_near": 0.001, "compute_dtype": "bfloat16",
-            "penalty_weight": {
-                "constraints_aux_grad": 0.05, "constraints_dDdt": 1.0,
-                "constraints_color": 0.0001, "range_distance": 1.0,
-                "range_aux_grad": 1.0, "range_color": 0.1,
-            },
-        },
+        network_config=dict(_NET_CFG[0]),
         sample_coarse=64, sample_fine=128, use_coarse_network=False,
         sampling_type="cone",
     )
     key = jax.random.PRNGKey(3408)
     params = renderer.init(key)
     tx = optax.adam(5e-4)
-    losses = [ColorLoss(), MaskBCELoss(0.05), FieldsConstraintLoss(0.01)]
+    losses = [ColorLoss(), MaskBCELoss(0.05)]
+    if "NeDDF" in _NET_CFG[0]["_target_"]:
+        losses.append(FieldsConstraintLoss(0.01))
     h = w = 500
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32))
@@ -135,6 +150,10 @@ def _context(knob: str, value: str):
         return K.bwd_stash(value == "on")
     if knob == "epilogue":
         return F.use_epilogue(value == "on")
+    if knob == "neus_normals":
+        # knob selects the NETWORK CONFIG, not a trace-time flag
+        _NET_CFG[0] = dict(NEUS_CFG_BASE, normals=value)
+        return nullcontext()
     if knob == "baseline":
         return nullcontext()
     raise SystemExit(f"unknown knob {knob!r}")
