@@ -68,10 +68,13 @@ class NeuS(BaseField):
     #     trunk + the single-channel reverse pass VMEM-resident with a
     #     hand-written second-order VJP — the right transposition AND
     #     fused. Exactly equivalent (tests/fields/test_neus_dual_normals
-    #     .py + tests/kernels/test_sdf_mlp.py); NOT yet benchmarked on
-    #     v5e (tunnel outage — see kernels/sdf_mlp.py STATUS), so the
-    #     measured "reverse" stays the default until an A/B lands.
-    normals: str = "reverse"
+    #     .py + tests/kernels/test_sdf_mlp.py) and MEASURED 1.38x the
+    #     reverse path on v5e (full NeuS train step 15.32 vs 21.1 ms =
+    #     33.4k vs 24.2k rays/s, identical loss; same-session A/B
+    #     2026-08-18, tools/ab_flagship.py neus_normals reverse sweep).
+    #   "auto" (default) — sweep on TPU, reverse elsewhere (the kernel
+    #     only interprets off-TPU, like fused="auto").
+    normals: str = "auto"
     # shard_map tensor parallelism (see fields/base.py::tp_gather)
     tp_axis: Optional[str] = None
 
@@ -97,12 +100,16 @@ class NeuS(BaseField):
             return False
         if self.normals != "auto":
             raise ValueError(f"unknown normals mode {self.normals!r}")
-        # auto = reverse: measured faster for a 1-channel gradient (see
-        # the ``normals`` field comment)
         return False
 
     def _use_sweep_normals(self) -> bool:
-        return self.normals == "sweep" and self.tp_axis is None
+        if self.tp_axis is not None:
+            return False
+        if self.normals == "sweep":
+            return True
+        # auto = the fused sweep kernel on TPU (measured 1.38x reverse,
+        # see the ``normals`` field comment), reverse-mode elsewhere.
+        return self.normals == "auto" and jax.default_backend() == "tpu"
 
     def _trunk_sweep(self, params, pos: Array):
         """SDF trunk + channel-0 gradient via the fused reverse-sweep
@@ -110,8 +117,8 @@ class NeuS(BaseField):
         reverse pass run VMEM-resident, with a hand-written second-order
         VJP; normals chain from PE channels to positions with the
         channel-sparse contraction (ops/sdf_grad.py::pe_chain_to_pos).
-        CPU-verified vs the reverse-mode path; not yet benchmarked on
-        v5e (see kernels/sdf_mlp.py STATUS)."""
+        Measured 1.38x the reverse-mode path on v5e (see
+        kernels/sdf_mlp.py STATUS)."""
         from neddf_tpu.kernels.dual_mlp import pad_rows
         from neddf_tpu.kernels.sdf_mlp import TILE_M, sdf_mlp
         from neddf_tpu.ops.sdf_grad import pe_chain_to_pos

@@ -27,10 +27,11 @@ Layout conventions match kernels/mlp.py: layout[l] marks a post-skip
 layer consuming [h_{l-1}, e] (hidden rows FIRST — the NeRF/NeuS concat
 order). Verified (values + first/second-order grads) against
 ops/sdf_grad.py and jax.grad in tests/kernels/test_sdf_mlp.py.
-STATUS: CPU-interpret verified; not yet benchmarked on v5e (the TPU
-tunnel died during this round — see CLAUDE.md), so fields/neus.py keeps
-normals="reverse" as the measured default and exposes this path as
-normals="sweep".
+STATUS: benchmarked on v5e 2026-08-18 (same-session A/B,
+tools/ab_flagship.py neus_normals reverse sweep): full NeuS train step
+15.32 ms vs 21.1 ms for the reverse-mode trunk — 1.38x, 33.4k vs 24.2k
+rays/s, identical loss. fields/neus.py normals="auto" therefore
+resolves to this kernel on TPU (reverse-mode elsewhere).
 """
 from __future__ import annotations
 

@@ -109,3 +109,18 @@ def test_sweep_normals_outer_gradients_match(sweep_setup):
             np.asarray(a) / scale, np.asarray(b) / scale, rtol=3e-5,
             atol=3e-5,
         )
+
+
+def test_auto_normals_resolution(monkeypatch):
+    """normals="auto" = the measured-fastest mode per backend: the
+    fused sweep kernel on TPU (1.38x the reverse trunk on v5e, see
+    kernels/sdf_mlp.py STATUS), reverse-mode elsewhere; TP always
+    forces the jnp reverse trunk (no Pallas under shard_map)."""
+    auto = NeuS(normals="auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert auto._use_sweep_normals() and not auto._use_dual_normals()
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not auto._use_sweep_normals() and not auto._use_dual_normals()
+    tp = NeuS(normals="auto", tp_axis="model")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not tp._use_sweep_normals() and not tp._use_dual_normals()
