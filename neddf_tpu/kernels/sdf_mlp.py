@@ -54,7 +54,10 @@ from neddf_tpu.kernels.dual_mlp import (
 Array = jax.Array
 
 TILE_M = 512
-TILE_M_BWD = 256
+# v5e A/B 2026-08-18 (tools/ab_flagship.py sdf_tile_bwd, two sessions):
+# 512 = 15.32-15.37 ms vs 256 = 15.47-15.91 ms full NeuS step (~3%).
+# Fits the 48 MB vmem budget; rows are padded to TILE_M=512 multiples.
+TILE_M_BWD = 512
 
 
 def _onehot0(tile: int, c: int) -> Array:

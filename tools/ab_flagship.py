@@ -154,6 +154,14 @@ def _context(knob: str, value: str):
         # knob selects the NETWORK CONFIG, not a trace-time flag
         _NET_CFG[0] = dict(NEUS_CFG_BASE, normals=value)
         return nullcontext()
+    if knob == "sdf_tile_bwd":
+        # sweep-kernel backward tile (module constant, read at trace
+        # time like the other toggles); runs the NeuS sweep config
+        import neddf_tpu.kernels.sdf_mlp as S
+
+        _NET_CFG[0] = dict(NEUS_CFG_BASE, normals="sweep")
+        S.TILE_M_BWD = int(value)
+        return nullcontext()
     if knob == "baseline":
         return nullcontext()
     raise SystemExit(f"unknown knob {knob!r}")
