@@ -30,6 +30,31 @@ Array = jax.Array
 TILE_M = 1024
 TILE_M_BWD = 512
 
+# HBM pre-activation stash for the backward (the dual_mlp/sdf_mlp
+# strategy: forward writes each layer's pre-activations, backward skips
+# the recompute loop). Trace-time flag like dual_mlp._BWD_STASH — see
+# the bwd_stash docstring there for the jit-cache caveat. Default OFF
+# pending a v5e A/B (tools/ab_flagship.py mlp_stash off on).
+_MLP_STASH = [False]
+
+
+class mlp_stash:
+    """Context manager toggling the stashed mlp_seg backward (A/Bs).
+
+    TRACE-TIME semantics — identical caveats to dual_mlp.bwd_stash:
+    build fresh jitted callables inside each scope.
+    """
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self):
+        self.prev = _MLP_STASH[0]
+        _MLP_STASH[0] = self.on
+
+    def __exit__(self, *exc):
+        _MLP_STASH[0] = self.prev
+
 
 def _layer_pre(h, seg, offs, widths, w, b, li, split):
     if li == 0:
@@ -44,13 +69,18 @@ def _layer_pre(h, seg, offs, widths, w, b, li, split):
     return _mm(h, w) + b
 
 
-def _fwd_kernel(layout, act_name, widths, out_dtype, *refs):
+def _fwd_kernel(layout, act_name, widths, out_dtype, want_stash, *refs):
     n_seg = len(widths)
     n_layers = len(layout)
     v_refs = refs[:n_seg]
     wb = refs[n_seg : n_seg + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
-    out_ref = refs[-1]
+    if want_stash:
+        out_ref = refs[n_seg + 2 * n_layers]
+        pre_refs = refs[n_seg + 2 * n_layers + 1 :]
+    else:
+        out_ref = refs[-1]
+        pre_refs = None
 
     f, _, _ = _act_fns(act_name)
     offs = _offsets(widths)
@@ -58,18 +88,24 @@ def _fwd_kernel(layout, act_name, widths, out_dtype, *refs):
     h = None
     for li, split in enumerate(layout):
         pre = _layer_pre(h, seg, offs, widths, w_refs[li][:], b_refs[li][:], li, split)
+        if want_stash:
+            # stash in the segment dtype (bf16 in production — the same
+            # precision/VMEM trade dual_mlp ships; f32 inputs stay exact)
+            pre_refs[li][:] = pre.astype(pre_refs[li].dtype)
         h = f(pre)
     out_ref[:] = h.astype(out_dtype)
 
 
-def _bwd_kernel(layout, act_name, widths, *refs):
+def _bwd_kernel(layout, act_name, widths, has_stash, *refs):
     n_seg = len(widths)
     n_layers = len(layout)
     v_refs = refs[:n_seg]
     wb = refs[n_seg : n_seg + 2 * n_layers]
     w_refs, b_refs = wb[0::2], wb[1::2]
     g_ref = refs[n_seg + 2 * n_layers]
-    outs = refs[n_seg + 2 * n_layers + 1 :]
+    n_in = n_seg + 2 * n_layers + 1
+    pre_refs = refs[n_in : n_in + n_layers] if has_stash else None
+    outs = refs[n_in + n_layers :] if has_stash else refs[n_in:]
     dv_refs = outs[:n_seg]
     dwb = outs[n_seg:]
     dw_refs, db_refs = dwb[0::2], dwb[1::2]
@@ -79,13 +115,19 @@ def _bwd_kernel(layout, act_name, widths, *refs):
     is_first = pl.program_id(0) == 0
     seg = [v_refs[i][:] for i in range(n_seg)]
 
-    # recompute forward, stash pre-activations
-    h = None
-    pres = []
-    for li, split in enumerate(layout):
-        pre = _layer_pre(h, seg, offs, widths, w_refs[li][:], b_refs[li][:], li, split)
-        pres.append(pre)
-        h = f(pre)
+    if has_stash:
+        # forward pre-activations arrive from the HBM stash
+        pres = [pre_refs[li][:] for li in range(n_layers)]
+    else:
+        # recompute forward, stash pre-activations in VMEM
+        h = None
+        pres = []
+        for li, split in enumerate(layout):
+            pre = _layer_pre(
+                h, seg, offs, widths, w_refs[li][:], b_refs[li][:], li, split
+            )
+            pres.append(pre)
+            h = f(pre)
 
     g = g_ref[:].astype(jnp.float32)
     g_skip = jnp.zeros((seg[0].shape[0], widths[0]), jnp.float32)
@@ -139,7 +181,8 @@ def _specs(widths, tile):
     ]
 
 
-def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret):
+def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret,
+                 want_stash=False):
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     c_out = weights[-1].shape[-1]
@@ -155,19 +198,39 @@ def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret):
     for w, b in zip(weights, biases):
         args += [w, b]
     odt = jnp.dtype(out_dtype)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, layout, act_name, widths, odt),
+    out_specs = pl.BlockSpec(
+        (TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m, c_out), odt)
+    if want_stash:
+        sdt = vs[0].dtype
+        out_specs = [out_specs] + [
+            pl.BlockSpec(
+                (TILE_M, w.shape[-1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for w in weights
+        ]
+        out_shape = [out_shape] + [
+            jax.ShapeDtypeStruct((m, w.shape[-1]), sdt) for w in weights
+        ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, layout, act_name, widths, odt, want_stash
+        ),
         grid=(m // TILE_M,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (TILE_M, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((m, c_out), odt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if want_stash:
+        return outs[0], tuple(outs[1:])
+    return outs
 
 
-def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
+def _run_backward(vs, weights, biases, layout, act_name, g, interpret,
+                  pres=None):
     m = vs[0].shape[0]
     widths = tuple(v.shape[-1] for v in vs)
     tile = TILE_M_BWD
@@ -183,6 +246,14 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
     in_specs.append(
         pl.BlockSpec((tile, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
+    if pres is not None:
+        for p in pres:
+            in_specs.append(
+                pl.BlockSpec(
+                    (tile, p.shape[-1]), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
     out_specs = _specs(widths, tile)
     # dx cotangents in the primal dtypes; dW/db stay f32 (grid-accumulated)
     out_shape = [
@@ -201,8 +272,12 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret):
     for w, b in zip(weights, biases):
         args += [w, b]
     args.append(g)
+    if pres is not None:
+        args += list(pres)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, layout, act_name, widths),
+        functools.partial(
+            _bwd_kernel, layout, act_name, widths, pres is not None
+        ),
         grid=(m // tile,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -233,17 +308,23 @@ def mlp_seg(
 
 
 def _mlp_fwd(vs, weights, biases, layout, act_name, out_dtype, interpret):
+    if _MLP_STASH[0]:
+        out, pres = _run_forward(
+            tuple(vs), tuple(weights), tuple(biases), layout, act_name,
+            out_dtype, interpret, want_stash=True,
+        )
+        return out, (tuple(vs), tuple(weights), tuple(biases), pres)
     out = _run_forward(tuple(vs), tuple(weights), tuple(biases), layout,
                        act_name, out_dtype, interpret)
-    return out, (tuple(vs), tuple(weights), tuple(biases))
+    return out, (tuple(vs), tuple(weights), tuple(biases), None)
 
 
 def _mlp_bwd(layout, act_name, out_dtype, interpret, res, g):
-    vs, weights, biases = res
+    vs, weights, biases, pres = res
     # cotangent enters in the kernel OUTPUT dtype and dx cotangents leave
     # in the primal input dtypes — no f32 staging around the kernel
     dvs, dws, dbs = _run_backward(
-        vs, weights, biases, layout, act_name, g, interpret
+        vs, weights, biases, layout, act_name, g, interpret, pres=pres
     )
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, weights))
     dbs = tuple(d.astype(b.dtype) for d, b in zip(dbs, biases))

@@ -86,3 +86,41 @@ def test_bf16_out(setup):
     ref = ref_forward(vs, weights, biases)
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
     assert np.median(err) < 5e-2 * (np.abs(np.asarray(ref)).max() + 1e-6)
+
+
+def test_stash_backward_matches_recompute(setup):
+    """mlp_stash(True): the forward writes per-layer pre-activations and
+    the backward consumes them instead of recomputing — grads must be
+    EXACT vs the recompute variant in f32 (the stash rides the segment
+    dtype, so f32 inputs stash f32)."""
+    vs, weights, biases = setup
+
+    def loss(vs, weights, biases):
+        return jnp.sum(
+            jnp.sin(K.mlp_seg(vs, weights, biases, LAYOUT, ACT, "float32", True))
+        )
+
+    with matmul_dtype(jnp.float32):
+        g_rec = jax.grad(loss, argnums=(0, 1, 2))(vs, weights, biases)
+        with K.mlp_stash(True):
+            g_stash = jax.grad(loss, argnums=(0, 1, 2))(vs, weights, biases)
+    for tree_a, tree_b, name in zip(g_rec, g_stash, ("dv", "dW", "db")):
+        for i, (a, b) in enumerate(zip(tree_a, tree_b)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name}[{i}]"
+            )
+
+
+def test_stash_forward_value_unchanged(setup):
+    vs, weights, biases = setup
+    with matmul_dtype(jnp.float32):
+        base = K.mlp_seg(vs, weights, biases, LAYOUT, ACT, "float32", True)
+        with K.mlp_stash(True):
+            # primal value path AND the vjp-forward both stay exact
+            out = K.mlp_seg(vs, weights, biases, LAYOUT, ACT, "float32", True)
+            out2, _ = jax.vjp(
+                lambda v: K.mlp_seg(v, weights, biases, LAYOUT, ACT,
+                                    "float32", True), vs,
+            )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(base))

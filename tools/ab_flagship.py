@@ -154,6 +154,24 @@ def _context(knob: str, value: str):
         # knob selects the NETWORK CONFIG, not a trace-time flag
         _NET_CFG[0] = dict(NEUS_CFG_BASE, normals=value)
         return nullcontext()
+    if knob == "mlp_stash":
+        # stashed vs recompute mlp_seg backward, on the NeuS config
+        # (its 8x256 color branch is the biggest mlp_seg consumer)
+        import neddf_tpu.kernels.mlp as M
+
+        _NET_CFG[0] = dict(NEUS_CFG_BASE, normals="sweep")
+        return M.mlp_stash(value == "on")
+    if knob == "nerf_mlp_stash":
+        # same toggle on the NeRF family (mlp_seg trunk + color head)
+        import neddf_tpu.kernels.mlp as M
+
+        _NET_CFG[0] = {
+            "_target_": "neddf_tpu.fields.NeRF",
+            "embed_pos_rank": 10, "embed_dir_rank": 4,
+            "layer_count": 8, "layer_width": 256,
+            "compute_dtype": "bfloat16",
+        }
+        return M.mlp_stash(value == "on")
     if knob == "sdf_tile_bwd":
         # sweep-kernel backward tile (module constant, read at trace
         # time like the other toggles); runs the NeuS sweep config
