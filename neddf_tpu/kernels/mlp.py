@@ -33,8 +33,12 @@ TILE_M_BWD = 512
 # HBM pre-activation stash for the backward (the dual_mlp/sdf_mlp
 # strategy: forward writes each layer's pre-activations, backward skips
 # the recompute loop). Trace-time flag like dual_mlp._BWD_STASH — see
-# the bwd_stash docstring there for the jit-cache caveat. Default OFF
-# pending a v5e A/B (tools/ab_flagship.py mlp_stash off on).
+# the bwd_stash docstring there for the jit-cache caveat. Default OFF:
+# measured NEGATIVE on v5e (2026-08-18 A/Bs, BASELINE.md) — NeuS's f32
+# color branch pays 2x the stash traffic (16.1 vs 15.5-15.7 ms) and the
+# bf16 NeRF family lands within tunnel-timing noise; the plain backward
+# only recomputes ONE value stream, so unlike the dual kernel there is
+# little recompute to save.
 _MLP_STASH = [False]
 
 
@@ -116,8 +120,12 @@ def _bwd_kernel(layout, act_name, widths, has_stash, *refs):
     seg = [v_refs[i][:] for i in range(n_seg)]
 
     if has_stash:
-        # forward pre-activations arrive from the HBM stash
-        pres = [pre_refs[li][:] for li in range(n_layers)]
+        # forward pre-activations arrive from the HBM stash; compute
+        # f/df in f32 (Mosaic lacks bf16 compare ops, and this matches
+        # the recompute path's f32 accumulator type)
+        pres = [
+            pre_refs[li][:].astype(jnp.float32) for li in range(n_layers)
+        ]
     else:
         # recompute forward, stash pre-activations in VMEM
         h = None
@@ -214,6 +222,13 @@ def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret,
         out_shape = [out_shape] + [
             jax.ShapeDtypeStruct((m, w.shape[-1]), sdt) for w in weights
         ]
+    # the stash adds n_layers [TILE, C] output buffers (double-buffered)
+    # on top of the default 16 MB scoped-vmem budget — raise it like
+    # sdf_mlp/dual_mlp do for their stash variants
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        if want_stash and not interpret else None
+    )
     outs = pl.pallas_call(
         functools.partial(
             _fwd_kernel, layout, act_name, widths, odt, want_stash
@@ -223,6 +238,7 @@ def _run_forward(vs, weights, biases, layout, act_name, out_dtype, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
     )(*args)
     if want_stash:
         return outs[0], tuple(outs[1:])
@@ -274,6 +290,10 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret,
     args.append(g)
     if pres is not None:
         args += list(pres)
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        if pres is not None and not interpret else None
+    )
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, layout, act_name, widths, pres is not None
@@ -283,6 +303,7 @@ def _run_backward(vs, weights, biases, layout, act_name, g, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
     )(*args)
     n_seg = len(widths)
     dvs = tuple(outs[:n_seg])
