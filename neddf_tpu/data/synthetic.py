@@ -320,6 +320,52 @@ def _machine_scene():
     return prims, light / np.linalg.norm(light)
 
 
+def _drums_scene():
+    """Drum-kit-like arrangement in [-1.05, 1.05]^3 — the thin-structure
+    counterpart of the machine scene (nerf_synthetic *drums* proxy:
+    BASELINE.json configs #3/#4 name drums alongside lego). Difficulty
+    profile: sub-pixel-width stands (radius 0.022-0.03 at 500 px ≈ 2-3
+    px), large flat discs seen edge-on (cymbals), and repeated curved
+    shells with high-frequency textures."""
+    shell = [0.82, 0.2, 0.16]
+    rim = [0.85, 0.85, 0.88]
+    brass = [0.9, 0.78, 0.3]
+    dark = [0.12, 0.12, 0.14]
+    floor_c = [0.45, 0.5, 0.55]
+    prims = [
+        # checkered floor slab
+        _Box([-1.0, -1.0, -0.95], [1.0, 1.0, -0.84], floor_c, _checker(6.0)),
+        # kick drum: horizontal cylinder (axis y), striped shell
+        _CylinderZ([0.0, 0.0, -0.5], 0.34, 0.26, 1, shell, _stripes(12.0, 2)),
+        _CylinderZ([0.0, 0.0, -0.5], 0.07, 0.30, 1, rim),  # hub caps
+        # snare + two toms: vertical cylinders with striped shells
+        _CylinderZ([-0.62, 0.3, -0.64], 0.2, 0.09, 2, rim, _stripes(16.0, 0)),
+        _CylinderZ([-0.2, 0.52, -0.45], 0.17, 0.11, 2, shell,
+                   _stripes(14.0, 1)),
+        _CylinderZ([0.25, 0.55, -0.42], 0.2, 0.12, 2, shell,
+                   _stripes(14.0, 0)),
+        # cymbals: thin flat discs at height, studded brass
+        _CylinderZ([-0.65, -0.45, -0.1], 0.3, 0.012, 2, brass, _studs(10.0)),
+        _CylinderZ([0.68, -0.4, 0.02], 0.34, 0.012, 2, brass, _studs(10.0)),
+        _CylinderZ([0.72, 0.42, -0.12], 0.26, 0.012, 2, brass, _studs(10.0)),
+        # stands: sub-pixel-width vertical rods under cymbals/snare/toms
+        _CylinderZ([-0.65, -0.45, -0.5], 0.026, 0.4, 2, dark),
+        _CylinderZ([0.68, -0.4, -0.42], 0.026, 0.44, 2, dark),
+        _CylinderZ([0.72, 0.42, -0.5], 0.026, 0.38, 2, dark),
+        _CylinderZ([-0.62, 0.3, -0.8], 0.03, 0.08, 2, dark),
+        _CylinderZ([-0.2, 0.52, -0.66], 0.022, 0.1, 2, dark),
+        _CylinderZ([0.25, 0.55, -0.66], 0.022, 0.12, 2, dark),
+        # horizontal support arm + pedal beater sphere
+        _CylinderZ([0.0, -0.35, -0.72], 0.022, 0.35, 0, dark),
+        _Sphere([0.0, -0.34, -0.5], 0.05, rim),
+        # knobs on the kick shell
+        _Sphere([0.17, 0.28, -0.36], 0.035, brass),
+        _Sphere([-0.17, 0.28, -0.36], 0.035, brass),
+    ]
+    light = np.array([-0.35, 0.3, 0.88])
+    return prims, light / np.linalg.norm(light)
+
+
 def _trace(prims, o, d):
     """Nearest-hit over all primitives: (t, normal, prim_id)."""
     flat_d = d.reshape(-1, 3)
@@ -377,6 +423,7 @@ def generate_machine_dataset(
     image_size: int = 500,
     camera_distance: float = 4.0,
     seed: int = 0,
+    _scene_fn=_machine_scene,
 ) -> Path:
     """Write the multi-object textured validation scene.
 
@@ -389,7 +436,7 @@ def generate_machine_dataset(
     rng = np.random.default_rng(seed)
     camera_angle_x = 0.6911112070083618
     focal = 0.5 * image_size / np.tan(0.5 * camera_angle_x)
-    prims, light = _machine_scene()
+    prims, light = _scene_fn()
 
     for split, count in (("train", n_train), ("test", n_test)):
         (out_dir / split).mkdir(parents=True, exist_ok=True)
@@ -413,11 +460,27 @@ def generate_machine_dataset(
     return out_dir
 
 
+def generate_drums_dataset(
+    out_dir,
+    n_train: int = 100,
+    n_test: int = 25,
+    image_size: int = 500,
+    camera_distance: float = 4.0,
+    seed: int = 0,
+) -> Path:
+    """Write the thin-structure drum-kit validation scene (see
+    _drums_scene); same camera conventions as the machine scene."""
+    return generate_machine_dataset(
+        out_dir, n_train=n_train, n_test=n_test, image_size=image_size,
+        camera_distance=camera_distance, seed=seed, _scene_fn=_drums_scene,
+    )
+
+
 def main() -> None:
     from argparse import ArgumentParser
 
     parser = ArgumentParser(description=__doc__)
-    parser.add_argument("--scene", choices=["sphere", "machine"],
+    parser.add_argument("--scene", choices=["sphere", "machine", "drums"],
                         default="machine")
     parser.add_argument("--out", type=Path, required=True)
     parser.add_argument("--train", type=int, default=100)
@@ -425,8 +488,11 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
-    gen = (generate_machine_dataset if args.scene == "machine"
-           else generate_sphere_dataset)
+    gen = {
+        "machine": generate_machine_dataset,
+        "drums": generate_drums_dataset,
+        "sphere": generate_sphere_dataset,
+    }[args.scene]
     path = gen(args.out, n_train=args.train, n_test=args.test,
                image_size=args.size, seed=args.seed)
     print(f"wrote {args.scene} scene to {path}")
