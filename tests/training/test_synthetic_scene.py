@@ -85,3 +85,23 @@ def test_machine_scene_generates_and_parses(tmp_path):
 
     meta = json.load(open(d / "transforms_train.json"))
     assert abs(meta["camera_angle_x"] - 0.6911112) < 1e-6
+
+
+def test_drums_scene_generates(tmp_path):
+    """The thin-structure drums proxy scene (BASELINE configs #3/#4's
+    drums half) parses through the standard loader, with sub-pixel
+    stands present: foreground alpha in a mid band, both mask classes."""
+    from neddf_tpu.data import NeRFSyntheticDataset
+    from neddf_tpu.data.synthetic import generate_drums_dataset
+
+    out = generate_drums_dataset(
+        tmp_path / "drums", n_train=3, n_test=1, image_size=64
+    )
+    ds = NeRFSyntheticDataset(
+        dataset_dir=str(out), data_split="train", use_depth=False,
+        use_mask=True,
+    )
+    assert len(ds) == 3
+    assert ds.rgb_images.shape == (3, 64, 64, 3)
+    cov = (ds.mask_images > 0).mean()
+    assert 0.1 < cov < 0.9
