@@ -14,10 +14,9 @@ Mesh axes:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -55,7 +54,7 @@ def _is_weight(path) -> bool:
     return any(getattr(k, "key", None) == "w" for k in path[-1:])
 
 
-def field_param_specs(params, model_size: int):
+def field_param_specs(params: Any, model_size: int) -> Any:
     """PartitionSpec tree for tensor-parallel field params.
 
     Column-parallel rule: 2-D weights [in, out] shard their out dim over
@@ -74,7 +73,7 @@ def field_param_specs(params, model_size: int):
     return jax.tree_util.tree_map(spec, params)
 
 
-def shard_field_params(params, mesh: Mesh):
+def shard_field_params(params: Any, mesh: Mesh) -> Any:
     """Tensor-parallel placement: weight out-dims and biases shard over
     'model'; with model=1 this degenerates to replication. The TP train
     step reassembles activations with explicit shard_map collectives
@@ -97,7 +96,7 @@ def shard_field_params(params, mesh: Mesh):
     )
 
 
-def _tp_renderer(renderer, axis: str = "model"):
+def tp_renderer(renderer: Any, axis: str = "model") -> Any:
     """Shallow-copy the renderer with fields configured for shard_map TP:
     fused kernels off (a Pallas call can't consume width shards) and
     ``tp_axis`` set so the jnp layer loops insert the all-gathers."""
@@ -118,182 +117,135 @@ def _tp_renderer(renderer, axis: str = "model"):
     return renderer
 
 
-def make_sharded_train_step(
-    renderer,
-    loss_functions,
-    calib,
+def make_sharded_grads(
     mesh: Mesh,
-    tx,
+    local_grads: Any,
     batch_size: int,
-    image_height: int,
-    image_width: int,
-):
-    """Build a jit-compiled full training step over the mesh.
+) -> Any:
+    """Wrap the canonical per-program gradient function in shard_map.
 
-    Two regimes:
+    ``local_grads`` is the function built by
+    ``training.step.make_local_grads`` — THE shared loss/step
+    implementation; this wrapper only adds the mesh semantics:
 
+    * rays shard over 'data': each device keeps its contiguous slice of
+      the global pixel batch (offset = axis_index * local_batch), so
+      the union of rays is identical to an unsharded run and losses /
+      grads are mesh-shape-invariant (pmean of equal-size means);
     * model == 1 (pure DP, the production regime — the reference fields
-      are only 2.5 MB so parameters replicate): the whole per-device
-      computation runs under ``jax.shard_map`` over the 'data' axis.
-      Each device samples ITS OWN ray sub-batch (key folded with the
-      device index), runs the field/Pallas kernels on purely LOCAL
-      shards, and the gradients are psum-averaged over ICI. This is the
-      correct multi-chip design for Pallas kernels: XLA's SPMD
-      partitioner cannot split a custom call, so the GSPMD route would
-      all-gather the batch around every kernel.
-    * model > 1 (tensor-parallel width sharding): GSPMD whole-program
-      partitioning — weights are column-sharded (shard_field_params) and
-      XLA derives the activation collectives. The fused kernels are
-      bypassed in this regime (the jnp dual path partitions cleanly).
+      are only 2.5 MB so parameters replicate): per-device programs run
+      the field/Pallas kernels on purely LOCAL shards and gradients are
+      psum-averaged over ICI. This is the correct multi-chip design for
+      Pallas kernels: XLA's SPMD partitioner cannot split a custom
+      call, so a GSPMD route would all-gather the batch around every
+      kernel;
+    * model > 1 (tensor-parallel width sharding): the caller passes a
+      ``local_grads`` built on ``tp_renderer(...)`` (fused kernels off,
+      explicit all-gathers via the fields' ``tp_axis``). Grad-inside-
+      shard_map computes d(sum over devices of loss_j)/d(input_i):
+      every model-row device computes the SAME loss from the gathered
+      activations, so a column-sharded leaf (consumed by all row
+      devices through the all_gather) comes back scaled by n_model,
+      while a replicated head leaf (consumed only by its own device's
+      loss) is exact — undo the factor spec-wise. Camera-delta grads
+      split across model devices (each device's backward sees only the
+      paths through its own weight columns, scaled by n_model), so
+      pmean over 'model' reassembles the exact full gradient
+      (pinned by tests/parallel/test_mesh_trainer.py).
 
-    Returns step(params, opt_state, camera_deltas, rgb_images,
-    mask_images, camera_initials, key, camera_id, iteration) ->
-    (params, opt_state, loss, mse).
+    Returns a traceable ``grads_fn(params, camera_deltas, rgb_images,
+    mask_images, camera_initials, key, camera_id, iteration) -> (loss,
+    loss_dict, mse, grads, grads_cam)`` for embedding in a larger jit
+    (e.g. the trainer's full step with optimizer updates).
     """
-    from neddf_tpu.geometry.se3 import camera_pose
-
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
     if batch_size % n_data != 0:
         raise ValueError(f"batch_size {batch_size} not divisible by data={n_data}")
     local_batch = batch_size // n_data
 
-    def local_loss(params, camera_deltas, rgb_images, mask_images,
-                   camera_initials, key, camera_id, iteration, batch,
-                   shard_rays=False, ray_slice=None):
-        k_u, k_v, k_render = jax.random.split(key, 3)
-        us = jnp.floor(
-            jax.random.uniform(k_u, (batch_size,)) * (image_width - 1)
-        ).astype(jnp.int32)
-        vs = jnp.floor(
-            jax.random.uniform(k_v, (batch_size,)) * (image_height - 1)
-        ).astype(jnp.int32)
-        if ray_slice is not None:  # shard_map regime: take the local slice
-            # render RNG is per-pixel inside render_rays, so the slice
-            # sees exactly the same draws as the unsharded program
-            us = jax.lax.dynamic_slice(us, (ray_slice,), (batch,))
-            vs = jax.lax.dynamic_slice(vs, (ray_slice,), (batch,))
-        if shard_rays:  # GSPMD regime: pin the ray batch to the data axis
-            us = jax.lax.with_sharding_constraint(us, data_sharded(mesh))
-            vs = jax.lax.with_sharding_constraint(vs, data_sharded(mesh))
-        uv = jnp.stack([us, vs], axis=1)
-        rgb_cam = rgb_images[camera_id]
-        mask_cam = mask_images[camera_id]
-        pose_r, pose_t = camera_pose(
-            camera_initials[camera_id], camera_deltas[camera_id]
-        )
-        targets: Dict[str, Array] = {
-            "color": (1.0 / 256.0) * rgb_cam[vs, us, :],
-            "mask": (1.0 / 256.0) * mask_cam[vs, us],
-            "fields_penalty": jnp.zeros((batch,), jnp.float32),
-        }
-
-        def loss_fn(p):
-            render_result = renderer.render_rays(
-                p, calib, pose_r, pose_t, uv, k_render, iteration
-            )
-            loss_dict: Dict[str, Array] = {}
-            for loss_function in loss_functions:
-                if loss_function.key_target not in targets:
-                    continue
-                loss_dict.update(loss_function(render_result, targets))
-            total = sum(loss_dict.values())
-            mse = jnp.mean(jnp.square(render_result["color"] - targets["color"]))
-            return total, mse
-
-        return jax.value_and_grad(loss_fn, has_aux=True)(params)
-
-    if n_model == 1:
-        # ---- shard_map DP: local kernels + explicit psum-mean ----------
-        def per_device(params, camera_deltas, rgb_images, mask_images,
-                       camera_initials, key, camera_id, iteration):
-            # every device draws the SAME global pixel batch from the
-            # unfolded key and keeps its contiguous slice — the union of
-            # rays is identical to an unsharded run, so losses/grads are
-            # bitwise mesh-shape-invariant (pmean of equal-size means)
-            shard = jax.lax.axis_index("data") * local_batch
-            (loss, mse), grads = local_loss(
-                params, camera_deltas, rgb_images, mask_images,
-                camera_initials, key, camera_id, iteration, local_batch,
-                ray_slice=shard,
-            )
-            grads = jax.lax.pmean(grads, "data")
-            loss = jax.lax.pmean(loss, "data")
-            mse = jax.lax.pmean(mse, "data")
-            return loss, mse, grads
-
-        rep = P()
-        sharded = jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(rep,) * 8,
-            out_specs=rep,
-            check_vma=False,
-        )
-
-        def train_step(params, opt_state, camera_deltas, rgb_images,
-                       mask_images, camera_initials, key, camera_id, iteration):
-            loss, mse, grads = sharded(
-                params, camera_deltas, rgb_images, mask_images,
-                camera_initials, key, camera_id, iteration,
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss, mse
-
-        return jax.jit(train_step, donate_argnums=(0, 1))
-
-    # ---- shard_map TP: explicit width-shard collectives ----------------
-    # Each 'model'-axis device holds a column shard of the trunk weights;
-    # the field's jnp path all-gathers activations back to full width
-    # after every sharded layer (fields/base.py::tp_gather). Rays shard
-    # over 'data' exactly as in the DP regime. This never hands the field
-    # program to the GSPMD partitioner — bypassing its documented CPU
-    # miscompile (see shard_field_params) — and its per-device programs
-    # are ordinary single-device XLA.
-    renderer = _tp_renderer(renderer)
-
-    def train_step(params, opt_state, camera_deltas, rgb_images,
-                   mask_images, camera_initials, key, camera_id, iteration):
+    def grads_fn(params, camera_deltas, rgb_images, mask_images,
+                 camera_initials, key, camera_id, iteration):
         # spec tree from the GLOBAL param shapes (available at trace
         # time); must match the placement rule of shard_field_params
         param_specs = field_param_specs(params, n_model)
 
-        def per_device_tp(params_local, camera_deltas, rgb_images,
-                          mask_images, camera_initials, key, camera_id,
-                          iteration):
+        def per_device(params_local, camera_deltas, rgb_images,
+                       mask_images, camera_initials, key, camera_id,
+                       iteration):
             shard = jax.lax.axis_index("data") * local_batch
-            (loss, mse), grads = local_loss(
+            loss, loss_dict, mse, grads, grads_cam = local_grads(
                 params_local, camera_deltas, rgb_images, mask_images,
-                camera_initials, key, camera_id, iteration, local_batch,
-                ray_slice=shard,
+                camera_initials, key, camera_id, iteration, shard,
+                local_batch,
             )
-            # Grad-inside-shard_map computes d(sum over devices of
-            # loss_j)/d(input_i). Every model-row device computes the
-            # SAME loss from the gathered activations, so a
-            # column-sharded leaf (consumed by all row devices through
-            # the all_gather) comes back scaled by n_model, while a
-            # replicated head leaf (consumed only by its own device's
-            # loss) is exact. Undo the factor spec-wise; n_model is a
-            # power of two so the division is exact.
-            grads = jax.tree_util.tree_map(
-                lambda g, s: g / n_model if s != P() else g,
-                grads, param_specs,
-            )
+            if n_model > 1:
+                # n_model is a power of two so the division is exact
+                grads = jax.tree_util.tree_map(
+                    lambda g, s: g / n_model if s != P() else g,
+                    grads, param_specs,
+                )
             grads = jax.lax.pmean(grads, "data")
             loss = jax.lax.pmean(loss, "data")
+            loss_dict = jax.lax.pmean(loss_dict, "data")
             mse = jax.lax.pmean(mse, "data")
-            return loss, mse, grads
+            if grads_cam is not None:
+                axes = ("data", "model") if n_model > 1 else "data"
+                grads_cam = jax.lax.pmean(grads_cam, axes)
+            return loss, loss_dict, mse, grads, grads_cam
 
         rep = P()
-        loss, mse, grads = jax.shard_map(
-            per_device_tp,
+        return jax.shard_map(
+            per_device,
             mesh=mesh,
             in_specs=(param_specs,) + (rep,) * 7,
-            out_specs=(rep, rep, param_specs),
+            out_specs=(rep, rep, rep, param_specs, rep),
             check_vma=False,
         )(params, camera_deltas, rgb_images, mask_images,
           camera_initials, key, camera_id, iteration)
+
+    return grads_fn
+
+
+def make_sharded_train_step(
+    renderer: Any,
+    loss_functions: Sequence[Any],
+    calib: Any,
+    mesh: Mesh,
+    tx: Any,
+    batch_size: int,
+    image_height: int,
+    image_width: int,
+    grad_accum: int = 1,
+) -> Any:
+    """Library-level jit-compiled training step over the mesh.
+
+    Thin composition of the canonical step implementation
+    (``training.step.make_local_grads``) with ``make_sharded_grads`` —
+    the PRODUCT path is ``NeRFTrainer`` with a ``mesh`` config, which
+    uses the same two pieces plus grad_accum / camera optimization /
+    loss_dict logging / checkpoint plumbing.
+
+    Returns step(params, opt_state, camera_deltas, rgb_images,
+    mask_images, camera_initials, key, camera_id, iteration) ->
+    (params, opt_state, loss, mse).
+    """
+    from neddf_tpu.training.step import make_local_grads
+
+    n_model = mesh.shape["model"]
+    local_grads = make_local_grads(
+        tp_renderer(renderer) if n_model > 1 else renderer,
+        loss_functions, calib, image_width, image_height, batch_size,
+        grad_accum=grad_accum,
+    )
+    grads_fn = make_sharded_grads(mesh, local_grads, batch_size)
+
+    def train_step(params, opt_state, camera_deltas, rgb_images,
+                   mask_images, camera_initials, key, camera_id, iteration):
+        loss, _, mse, grads, _ = grads_fn(
+            params, camera_deltas, rgb_images, mask_images,
+            camera_initials, key, camera_id, iteration,
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, mse
@@ -301,7 +253,7 @@ def make_sharded_train_step(
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
-def make_sharded_render(renderer, calib, mesh: Mesh):
+def make_sharded_render(renderer: Any, calib: Any, mesh: Mesh) -> Any:
     """Eval-time renderer returning fully-replicated tiles — the
     'all-gather of rendered tiles' from BASELINE.json.
 
@@ -314,20 +266,43 @@ def make_sharded_render(renderer, calib, mesh: Mesh):
 
     n_model = mesh.shape["model"]
     if n_model == 1:
-        every = NamedSharding(mesh, P(("data", "model")))
+        # shard_map DP render: pixel rows shard over the whole mesh and
+        # each device runs the ORDINARY single-device program (incl.
+        # fused Pallas kernels — GSPMD can't partition a custom call,
+        # so a with_sharding_constraint route would gather the batch
+        # around every kernel on real multi-chip hardware)
+        n_total = mesh.devices.size
+
+        def per_device(params, pose_r, pose_t, uv_local, key):
+            out = renderer.render_rays(
+                params, calib, pose_r, pose_t, uv_local, key, -1,
+                need_aux=False,
+            )
+            return {
+                k: v for k, v in out.items()
+                if k in ("color", "depth", "transmittance")
+            }
 
         def render(params, pose_r, pose_t, uv, key):
-            uv = jax.lax.with_sharding_constraint(uv, every)
-            out = renderer.render_rays(params, calib, pose_r, pose_t, uv, key, -1)
+            if uv.shape[0] % n_total:
+                raise ValueError(
+                    f"uv rows {uv.shape[0]} not divisible by {n_total} devices"
+                )
+            out = jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(("data", "model")), P()),
+                out_specs=P(("data", "model")),
+                check_vma=False,
+            )(params, pose_r, pose_t, uv, key)
             return {
                 k: jax.lax.with_sharding_constraint(v, replicated(mesh))
                 for k, v in out.items()
-                if k in ("color", "depth", "transmittance")
             }
 
         return jax.jit(render)
 
-    tp_r = _tp_renderer(renderer)
+    tp_r = tp_renderer(renderer)
     n_data = mesh.shape["data"]
 
     def render(params, pose_r, pose_t, uv, key):

@@ -75,7 +75,7 @@ class NeRFRender:
         self._jit_cache: Dict[Any, Any] = {}
 
     # ---------------------------------------------------------------- init
-    def init(self, key: Array):
+    def init(self, key: Array) -> Dict[str, Any]:
         k_fine, k_coarse = jax.random.split(key)
         params = {"network_fine": self.network_fine.init(k_fine)}
         if self.use_coarse_network:
@@ -90,13 +90,13 @@ class NeRFRender:
     # ---------------------------------------------------------- render_rays
     def render_rays(
         self,
-        params,
+        params: Dict[str, Any],
         calib: PinholeCalib,
         pose_r: Array,
         pose_t: Array,
         uv: Array,
         key: Array,
-        iteration,
+        iteration: "Array | int",
         need_aux: bool = True,
     ) -> Dict[str, Array]:
         """Render a batch of rays; fully traceable under jit.
@@ -184,13 +184,13 @@ class NeRFRender:
     # --------------------------------------------- occupancy-accelerated
     def build_occupancy(
         self,
-        params,
+        params: Dict[str, Any],
         key: Array,
         resolution: int = 64,
         threshold: float = 0.01,
         n_updates: int = 4,
         cube_range: float = 1.1,
-    ):
+    ) -> Any:
         """Build an occupancy grid from the trained fine field."""
         from neddf_tpu.ops.occupancy import make_grid, update_grid
 
@@ -208,13 +208,13 @@ class NeRFRender:
 
     def render_rays_accel(
         self,
-        params,
+        params: Dict[str, Any],
         calib: PinholeCalib,
         pose_r: Array,
         pose_t: Array,
         uv: Array,
         key: Array,
-        grid,
+        grid: Any,
         budget_coarse: int = 16,
         budget_fine: int = 64,
     ) -> Dict[str, Array]:
@@ -334,7 +334,7 @@ class NeRFRender:
 
     def render_image(
         self,
-        params,
+        params: Dict[str, Any],
         calib: PinholeCalib,
         pose_r: Array,
         pose_t: Array,
@@ -344,14 +344,18 @@ class NeRFRender:
         downsampling: int = 1,
         chunk: int = 512,
         key: Optional[Array] = None,
-        occupancy=None,
+        occupancy: Optional[Any] = None,
         budget_coarse: int = 16,
         budget_fine: int = 64,
+        render_fn: Optional[Any] = None,
     ) -> Dict[str, np.ndarray]:
         """Chunked full-image render (no grad), one compiled program.
 
         With ``occupancy`` (an ops.occupancy.OccupancyGrid) the field is
         only evaluated on each ray's top-budget occupied samples.
+        ``render_fn(params, calib, pose_r, pose_t, uv, key)`` overrides
+        the per-chunk program — the trainer passes the mesh-sharded
+        render here so eval tiles shard across devices.
         Returns numpy images [h, w, C] per requested target.
         """
         if key is None:
@@ -364,7 +368,9 @@ class NeRFRender:
         uv_all = np.stack([us, vs], axis=1)
         n = uv_all.shape[0]
 
-        if occupancy is not None:
+        if render_fn is not None:
+            pass  # caller-supplied program (e.g. the mesh-sharded render)
+        elif occupancy is not None:
             accel_fn = self._render_accel_jit(budget_coarse, budget_fine)
             render_fn = lambda params, calib, r, t, uv, key: accel_fn(
                 params, calib, r, t, uv, key, occupancy
@@ -398,7 +404,7 @@ class NeRFRender:
     # ---------------------------------------------------- render_field_slice
     def render_field_slice(
         self,
-        params,
+        params: Dict[str, Any],
         slice_t: float = 0.0,
         render_size: float = 1.1,
         render_resolution: int = 128,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ from neddf_tpu.training.checkpoint import (
 )
 from neddf_tpu.training.logger import NeRFTBLogger
 from neddf_tpu.training.metrics import peak_signal_noise_ratio, structural_similarity
+from neddf_tpu.training.step import construct_targets, make_local_grads
 
 Array = jax.Array
 
@@ -84,10 +85,28 @@ class BaseTrainer:
         camera_optimizer_lr: float = 1e-4,
         async_checkpoint: bool = False,
         grad_accum: int = 1,
+        mesh: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.config = global_config
         self.device = _resolve_device(device)
+        # multi-device training: mesh={"data": "auto"|N, "model": M}.
+        # data="auto" uses every local device (divided by model); a
+        # resolved 1x1 mesh degenerates to the single-device jit path,
+        # so "auto" is safe as a production default on one chip.
+        self.mesh = self._resolve_mesh(mesh)
+        self._n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        self._n_model = self.mesh.shape["model"] if self.mesh is not None else 1
+        if batch_size % self._n_data:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by mesh data axis "
+                f"{self._n_data}"
+            )
         self.batch_size = batch_size
+        if self.mesh is not None:
+            # eval-render chunks are always padded to exactly `chunk`
+            # rays; the sharded render splits them over every device
+            total = self._n_data * self._n_model
+            chunk = -(-chunk // total) * total
         self.chunk = chunk
         self.epoch_max = epoch_max
         self.epoch_save_fields = epoch_save_fields
@@ -115,6 +134,7 @@ class BaseTrainer:
         # immediately; run_train waits for pending writes at the end
         self.async_checkpoint = async_checkpoint
         self._async_ckpt = None
+        self._sharded_render = None
         # gradient accumulation: split each step's ray batch into
         # ``grad_accum`` sequential microbatches inside one jitted step
         # (lax.scan) and average the gradients. Numerically equivalent to
@@ -125,25 +145,29 @@ class BaseTrainer:
         # every compiled grad program at a scale XLA handles correctly
         # (B=4096 monolithic grad programs miscompile on current v5e
         # toolchains — kernels/dual_mlp.py docstring).
-        if grad_accum < 1 or batch_size % grad_accum:
+        local_batch = batch_size // self._n_data
+        if grad_accum < 1 or local_batch % grad_accum:
             raise ValueError(
-                f"grad_accum={grad_accum} must divide batch_size={batch_size}"
+                f"grad_accum={grad_accum} must divide the per-device batch "
+                f"{local_batch} (batch_size={batch_size} / data={self._n_data})"
             )
         self.grad_accum = int(grad_accum)
         # guard the documented XLA failure regime: monolithic grad
         # programs above 2048 rays miscompile (NaNs) or compile-OOM on
-        # current v5e toolchains (kernels/dual_mlp.py docstring). Keep
-        # every microbatch within the verified scale by auto-raising
-        # grad_accum to the smallest divisor of batch_size that does —
-        # numerically equivalent (see the grad_accum note above), so no
-        # user config can reach the bad program shape.
+        # current v5e toolchains (kernels/dual_mlp.py docstring;
+        # minimized repro: tools/repro_grad_nan.py). The per-PROGRAM ray
+        # count is the per-device microbatch, so keep it within the
+        # verified scale by auto-raising grad_accum to the smallest
+        # divisor of the local batch that does — numerically equivalent
+        # (see the grad_accum note above), so no user config can reach
+        # the bad program shape.
         _MAX_MONOLITHIC_RAYS = 2048
-        if batch_size // self.grad_accum > _MAX_MONOLITHIC_RAYS:
+        if local_batch // self.grad_accum > _MAX_MONOLITHIC_RAYS:
             need = self.grad_accum
-            while batch_size % need or batch_size // need > _MAX_MONOLITHIC_RAYS:
+            while local_batch % need or local_batch // need > _MAX_MONOLITHIC_RAYS:
                 need += 1
             print(
-                f"[trainer] batch_size={batch_size} with grad_accum="
+                f"[trainer] per-device batch {local_batch} with grad_accum="
                 f"{self.grad_accum} exceeds the verified {_MAX_MONOLITHIC_RAYS}"
                 f"-ray monolithic grad regime; raising grad_accum to {need} "
                 "(equivalent step; kernels/dual_mlp.py docstring)"
@@ -166,7 +190,7 @@ class BaseTrainer:
 
         # dataset (host) + device staging
         self.dataset = config_lib.instantiate(self.config["dataset"])
-        put = lambda x: jax.device_put(jnp.asarray(x), self.device)
+        put = self._put
         self.calib = PinholeCalib(
             put(self.dataset.camera_calib_params.astype(np.float32))
         )
@@ -183,8 +207,56 @@ class BaseTrainer:
         ]
         self.loss_types = [type(fn).__name__ for fn in self.loss_functions]
 
+    # --------------------------------------------------------------- mesh
+    def _resolve_mesh(self, mesh_cfg: Optional[Dict[str, Any]]):
+        """Resolve the ``mesh`` config into a jax Mesh (or None).
+
+        ``data: auto`` spans every device of the trainer's platform; a
+        1x1 result returns None so the single-device jit path (bitwise
+        identical to the no-mesh trainer) is used.
+        """
+        if not mesh_cfg:
+            return None
+        model = int(mesh_cfg.get("model", 1))
+        data = mesh_cfg.get("data", "auto")
+        devices = jax.devices(self.device.platform)
+        if data in ("auto", "max", None, -1):
+            data = max(1, len(devices) // model)
+        data = int(data)
+        if data * model == 1:
+            return None
+        if data * model > len(devices):
+            raise ValueError(
+                f"mesh {data}x{model} needs {data * model} devices; "
+                f"platform {self.device.platform!r} has {len(devices)}"
+            )
+        from neddf_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(data * model, model=model, devices=devices)
+
+    def _put(self, x):
+        """Stage a host array or pytree: replicated over the mesh, or on
+        the single device."""
+        x = jax.tree_util.tree_map(jnp.asarray, x)
+        if self.mesh is not None:
+            from neddf_tpu.parallel.mesh import replicated
+
+            return jax.device_put(x, replicated(self.mesh))
+        return jax.device_put(x, self.device)
+
+    def _place_params(self, tree):
+        """Place a params-shaped pytree: TP width shards (degenerating to
+        replication at model=1) over the mesh, or on the single device.
+        The spec rule is shape-based, so it applies equally to optimizer
+        state whose mu/nu leaves mirror the params."""
+        if self.mesh is not None:
+            from neddf_tpu.parallel.mesh import shard_field_params
+
+            return shard_field_params(tree, self.mesh)
+        return jax.device_put(tree, self.device)
+
     # ------------------------------------------------------------- cameras
-    def camera_pose_np(self, camera_id: int):
+    def camera_pose_np(self, camera_id: int) -> tuple:
         r, t = camera_pose(
             self.camera_initials[camera_id], self.camera_deltas[camera_id]
         )
@@ -195,17 +267,10 @@ class BaseTrainer:
         self, rgb_cam: Array, mask_cam: Array, us: Array, vs: Array
     ) -> Dict[str, Array]:
         """Device-side GT gather (reference: base_trainer.py:206-245)."""
-        targets: Dict[str, Array] = {}
-        if "ColorLoss" in self.loss_types:
-            targets["color"] = (1.0 / 256.0) * rgb_cam[vs, us, :]
-        if "MaskBCELoss" in self.loss_types or "MaskMSELoss" in self.loss_types:
-            targets["mask"] = (1.0 / 256.0) * mask_cam[vs, us]
-        if "FieldsConstraintLoss" in self.loss_types:
-            targets["fields_penalty"] = jnp.zeros(us.shape, jnp.float32)
-        return targets
+        return construct_targets(self.loss_types, rgb_cam, mask_cam, us, vs)
 
     # --------------------------------------------------------------- eval
-    def load_pretrained_model(self, model_path) -> None:
+    def load_pretrained_model(self, model_path: "str | Path") -> None:
         model_path = Path(model_path)
         if model_path.suffix == ".pth":
             self.params = import_torch_state_dict(model_path, self.neural_render)
@@ -218,7 +283,24 @@ class BaseTrainer:
             raw = state["params"] if "params" in state else state
             self.params = serialization.from_state_dict(self.params, raw)
             self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
-        self.params = jax.device_put(self.params, self.device)
+        self.params = self._place_params(jax.device_get(self.params))
+
+    def _eval_render_fn(self):
+        """Mesh-sharded eval render: pixel chunks shard over every device
+        and the rendered tiles all-gather back (BASELINE.json design).
+        None on a single device — render_image then uses its own jit."""
+        if self.mesh is None:
+            return None
+        if self._sharded_render is None:
+            from neddf_tpu.parallel.mesh import make_sharded_render
+
+            sharded = make_sharded_render(
+                self.neural_render, self.calib, self.mesh
+            )
+            self._sharded_render = (
+                lambda params, calib, r, t, uv, key: sharded(params, r, t, uv, key)
+            )
+        return self._sharded_render
 
     def render_test(
         self, output_dir: Path, camera_id: int, downsampling: int = 1
@@ -231,6 +313,7 @@ class BaseTrainer:
         images = self.neural_render.render_image(
             self.params, self.calib, r, t, w, h,
             ["color", "depth"], downsampling, self.chunk,
+            render_fn=self._eval_render_fn(),
         )
         rgb_np = np.clip(images["color"] * 255, 0, 255).astype(np.uint8)
         depth_np = np.clip(
@@ -256,7 +339,15 @@ class BaseTrainer:
     def render_field_slices(self, output_field_dir: Path, epoch: int = 0) -> None:
         import cv2
 
-        images = self.neural_render.render_field_slice(self.params)
+        params = self.params
+        if self.mesh is not None and self.mesh.shape["model"] > 1:
+            # width-sharded params must not reach the GSPMD partitioner
+            # (documented CPU TP miscompile, parallel/mesh.py): gather to
+            # host and run the tiny 128^2 slice program unsharded
+            params = jax.tree_util.tree_map(
+                jnp.asarray, jax.device_get(self.params)
+            )
+        images = self.neural_render.render_field_slice(params)
         output_field_dir = Path(output_field_dir)
         output_field_dir.mkdir(parents=True, exist_ok=True)
         for key, img in images.items():
@@ -275,6 +366,8 @@ class NeRFTrainer(BaseTrainer):
         self.key, init_key = jax.random.split(self.key)
         with jax.default_device(self.device):
             self.params = self.neural_render.init(init_key)
+        # mesh placement: replicated for DP, width-sharded for TP
+        self.params = self._place_params(self.params)
 
         # per-EPOCH ExponentialLR expressed over iterations (staircase)
         frame_length = max(len(self.dataset), 1)
@@ -301,11 +394,35 @@ class NeRFTrainer(BaseTrainer):
 
         self.iteration = 0
         self.logger = NeRFTBLogger()
-        self._train_step = jax.jit(
-            self._train_step_impl, donate_argnums=(0, 1, 2, 3)
-        )
+        # THE step implementation is training/step.py::make_local_grads,
+        # shared verbatim between this single-device jit and the
+        # shard_map mesh path (VERDICT r2 item 1: one implementation)
+        if self.mesh is not None:
+            self._train_step = self._make_mesh_train_step()
+        else:
+            self._local_grads = make_local_grads(
+                self.neural_render, self.loss_functions, self.calib,
+                self.dataset.image_width, self.dataset.image_height,
+                self.batch_size, self.grad_accum, self.optimize_camera,
+            )
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0, 1, 2, 3)
+            )
 
     # ----------------------------------------------------------- train step
+    def _apply_updates(
+        self, params, opt_state, camera_deltas, opt_state_cam, grads, grads_cam
+    ):
+        """Optimizer updates shared by the single-device and mesh steps."""
+        if self.optimize_camera:
+            cam_updates, opt_state_cam = self.tx_cam.update(
+                grads_cam, opt_state_cam, camera_deltas
+            )
+            camera_deltas = optax.apply_updates(camera_deltas, cam_updates)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, camera_deltas, opt_state_cam
+
     def _train_step_impl(
         self,
         params,
@@ -322,78 +439,54 @@ class NeRFTrainer(BaseTrainer):
         # NOTE: image stacks are real arguments, not closure captures — a
         # closed-over stack would be baked into the program as hundreds of
         # MB of constants (and overflow remote-compile transports).
-        h = self.dataset.image_height
-        w = self.dataset.image_width
-        rgb_cam = rgb_images[camera_id]
-        mask_cam = mask_images[camera_id]
-
-        k_u, k_v, k_render = jax.random.split(key, 3)
-        us = jnp.floor(
-            jax.random.uniform(k_u, (self.batch_size,)) * (w - 1)
-        ).astype(jnp.int32)
-        vs = jnp.floor(
-            jax.random.uniform(k_v, (self.batch_size,)) * (h - 1)
-        ).astype(jnp.int32)
-        uv = jnp.stack([us, vs], axis=1)
-
-        targets = self.construct_ground_truth(rgb_cam, mask_cam, us, vs)
-
-        def loss_fn(p, deltas, uv_mb, targets_mb):
-            pose_r, pose_t = camera_pose(
-                camera_initials[camera_id], deltas[camera_id]
-            )
-            render_result = self.neural_render.render_rays(
-                p, self.calib, pose_r, pose_t, uv_mb, k_render, iteration
-            )
-            loss_dict: Dict[str, Array] = {}
-            for loss_function in self.loss_functions:
-                loss_dict.update(loss_function(render_result, targets_mb))
-            total = sum(loss_dict.values())
-            mse = jnp.mean(jnp.square(render_result["color"] - targets_mb["color"]))
-            return total, (loss_dict, mse)
-
-        argnums = (0, 1) if self.optimize_camera else 0
-        value_and_grad = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
-        if self.grad_accum > 1:
-            # sequential microbatches under lax.scan; stacking the tiny
-            # (2.5 MB) grad pytrees and averaging afterwards is cheaper
-            # than a carried tree-add. Per-pixel RNG makes each micro
-            # draw identical to its slice of the monolithic batch.
-            n_micro = self.grad_accum
-            micro = self.batch_size // n_micro
-            uv_s = uv.reshape(n_micro, micro, 2)
-            targets_s = jax.tree_util.tree_map(
-                lambda t: t.reshape((n_micro, micro) + t.shape[1:]), targets
-            )
-
-            def body(_, xs):
-                uv_i, targets_i = xs
-                (l, (ld, m)), g = value_and_grad(
-                    params, camera_deltas, uv_i, targets_i
-                )
-                return None, (l, ld, m, g)
-
-            _, (losses, loss_dicts, mses, grads_s) = jax.lax.scan(
-                body, None, (uv_s, targets_s)
-            )
-            mean0 = lambda t: jnp.mean(t, axis=0)
-            loss = mean0(losses)
-            loss_dict = jax.tree_util.tree_map(mean0, loss_dicts)
-            mse = mean0(mses)
-            grads = jax.tree_util.tree_map(mean0, grads_s)
-        else:
-            (loss, (loss_dict, mse)), grads = value_and_grad(
-                params, camera_deltas, uv, targets
-            )
-        if self.optimize_camera:
-            grads, grads_cam = grads
-            cam_updates, opt_state_cam = self.tx_cam.update(
-                grads_cam, opt_state_cam, camera_deltas
-            )
-            camera_deltas = optax.apply_updates(camera_deltas, cam_updates)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        loss, loss_dict, mse, grads, grads_cam = self._local_grads(
+            params, camera_deltas, rgb_images, mask_images, camera_initials,
+            key, camera_id, iteration, 0, self.batch_size,
+        )
+        params, opt_state, camera_deltas, opt_state_cam = self._apply_updates(
+            params, opt_state, camera_deltas, opt_state_cam, grads, grads_cam
+        )
         return params, opt_state, camera_deltas, opt_state_cam, loss, loss_dict, mse
+
+    def _make_mesh_train_step(self):
+        """Full trainer step over the mesh: the SAME local_grads as the
+        single-device path wrapped in shard_map (parallel/mesh.py), with
+        every trainer feature — grad_accum microbatches run inside each
+        device's program, camera-pose gradients are pmean-reassembled,
+        loss_dict metrics replicate — then the shared optimizer update."""
+        from neddf_tpu.parallel.mesh import make_sharded_grads, tp_renderer
+
+        renderer = (
+            tp_renderer(self.neural_render)
+            if self._n_model > 1
+            else self.neural_render
+        )
+        local_grads = make_local_grads(
+            renderer, self.loss_functions, self.calib,
+            self.dataset.image_width, self.dataset.image_height,
+            self.batch_size, self.grad_accum, self.optimize_camera,
+        )
+        grads_fn = make_sharded_grads(self.mesh, local_grads, self.batch_size)
+
+        def train_step(params, opt_state, camera_deltas, opt_state_cam,
+                       rgb_images, mask_images, camera_initials, key,
+                       camera_id, iteration):
+            loss, loss_dict, mse, grads, grads_cam = grads_fn(
+                params, camera_deltas, rgb_images, mask_images,
+                camera_initials, key, camera_id, iteration,
+            )
+            params, opt_state, camera_deltas, opt_state_cam = (
+                self._apply_updates(
+                    params, opt_state, camera_deltas, opt_state_cam,
+                    grads, grads_cam,
+                )
+            )
+            return (
+                params, opt_state, camera_deltas, opt_state_cam,
+                loss, loss_dict, mse,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
     def run_train_step(self, camera_id: int) -> float:
         self.logger.write_batchstart()
@@ -575,9 +668,9 @@ class NeRFTrainer(BaseTrainer):
         self._apply_checkpoint_state(state)
 
     def _apply_checkpoint_state(self, state) -> None:
-        self.params = jax.device_put(state["params"], self.device)
-        self.opt_state = jax.device_put(state["opt_state"], self.device)
+        self.params = self._place_params(state["params"])
+        self.opt_state = self._place_params(state["opt_state"])
         self.iteration = int(state["iteration"])
-        self.camera_deltas = jax.device_put(state["camera_deltas"], self.device)
-        self.opt_state_cam = jax.device_put(state["opt_state_cam"], self.device)
+        self.camera_deltas = self._put(state["camera_deltas"])
+        self.opt_state_cam = self._put(state["opt_state_cam"])
         self.key = jnp.asarray(state["key"])
