@@ -137,7 +137,7 @@ class LLFFDataset(BaseDataset):
 
 
 def generate_forward_facing_dataset(
-    out_dir,
+    out_dir: "str | Path",
     n_images: int = 12,
     image_size: int = 128,
     camera_distance: float = 4.0,

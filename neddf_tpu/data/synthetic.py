@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
+from typing import Any
 
 import cv2
 import numpy as np
@@ -85,7 +86,7 @@ def _render_sphere(
 
 
 def generate_sphere_dataset(
-    out_dir,
+    out_dir: "str | Path",
     n_train: int = 6,
     n_test: int = 2,
     image_size: int = 64,
@@ -150,7 +151,7 @@ class _Sphere(_Prim):
         self.c = np.asarray(center, np.float64)
         self.r = float(radius)
 
-    def intersect(self, o: np.ndarray, d: np.ndarray):
+    def intersect(self, o: np.ndarray, d: np.ndarray) -> tuple:
         oc = o - self.c
         b = 2.0 * np.sum(d * oc, axis=-1)
         c = np.sum(oc * oc, axis=-1) - self.r * self.r
@@ -170,7 +171,7 @@ class _Box(_Prim):
         self.lo = np.asarray(lo, np.float64)
         self.hi = np.asarray(hi, np.float64)
 
-    def intersect(self, o: np.ndarray, d: np.ndarray):
+    def intersect(self, o: np.ndarray, d: np.ndarray) -> tuple:
         inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
         t0 = (self.lo - o) * inv
         t1 = (self.hi - o) * inv
@@ -203,7 +204,7 @@ class _CylinderZ(_Prim):
         self.h = float(half_len)
         self.axis = int(axis)
 
-    def intersect(self, o: np.ndarray, d: np.ndarray):
+    def intersect(self, o: np.ndarray, d: np.ndarray) -> tuple:
         ax = self.axis
         other = [i for i in range(3) if i != ax]
         oc = o - self.c
@@ -417,13 +418,13 @@ def _render_machine(prims, light, c2w, size, focal):
 
 
 def generate_machine_dataset(
-    out_dir,
+    out_dir: "str | Path",
     n_train: int = 100,
     n_test: int = 25,
     image_size: int = 500,
     camera_distance: float = 4.0,
     seed: int = 0,
-    _scene_fn=_machine_scene,
+    _scene_fn: Any = _machine_scene,
 ) -> Path:
     """Write the multi-object textured validation scene.
 
@@ -461,7 +462,7 @@ def generate_machine_dataset(
 
 
 def generate_drums_dataset(
-    out_dir,
+    out_dir: "str | Path",
     n_train: int = 100,
     n_test: int = 25,
     image_size: int = 500,

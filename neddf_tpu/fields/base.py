@@ -17,7 +17,7 @@ weights are stored [in, out] (transposed from torch's [out, in]).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +64,7 @@ def linear_apply(p: Dict[str, Array], x: Array) -> Array:
     return x @ p["w"] + p["b"]
 
 
-def tp_gather(h: Array, tp_axis, full_width: int) -> Array:
+def tp_gather(h: Array, tp_axis: Optional[str], full_width: int) -> Array:
     """Reassemble a width shard under shard_map tensor parallelism.
 
     With a field's ``tp_axis`` set, its trunk weights are column-sharded
@@ -107,7 +107,7 @@ class BaseField:
         """
         raise NotImplementedError
 
-    def schedule(self, iteration) -> Schedule:
+    def schedule(self, iteration: "Array | int") -> Schedule:
         """Default: no warmups (NeuS). iteration may be a traced scalar."""
         del iteration
         one = jnp.float32(1.0)

@@ -180,7 +180,7 @@ class NeDDF(BaseField):
             + self.ddf_layer_width
         )
 
-    def init(self, key: Array):
+    def init(self, key: Array) -> Dict[str, Array]:
         n_ddf = self.ddf_layer_count - 1
         n_col = self.col_layer_count - 1
         keys = jax.random.split(key, n_ddf + n_col + 3)
@@ -203,7 +203,7 @@ class NeDDF(BaseField):
             "layer_col_out": linear_init_xavier_normal(keys[-1], cw, 3),
         }
 
-    def schedule(self, iteration) -> Schedule:
+    def schedule(self, iteration: "Array | int") -> Schedule:
         """Warmups from NeDDF.set_iter (neddf.py:311-326); iteration == -1
         (or any negative) selects eval values."""
         it = jnp.asarray(iteration, jnp.float32)
@@ -479,7 +479,12 @@ class NeDDF(BaseField):
         }
 
     def apply(
-        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+        self,
+        params: Dict[str, Array],
+        sampling: Sampling,
+        sched: Schedule,
+        *,
+        need_aux: bool = True,
     ) -> Dict[str, Array]:
         batch_size, sampling_size = sampling.sample_pos.shape[:2]
         act, dact = ACTIVATIONS[self.activation_type]

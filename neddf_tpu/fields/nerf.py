@@ -91,7 +91,7 @@ class NeRF(BaseField):
     def input_dir_dim(self) -> int:
         return self.embed_dir_rank * 6
 
-    def init(self, key: Array):
+    def init(self, key: Array) -> Dict[str, Array]:
         keys = jax.random.split(key, self.layer_count + 3)
         width = self.layer_width
         layers = [linear_init_torch_default(keys[0], self.input_pos_dim, width)]
@@ -109,7 +109,7 @@ class NeRF(BaseField):
             ],
         }
 
-    def schedule(self, iteration) -> Schedule:
+    def schedule(self, iteration: "Array | int") -> Schedule:
         it = jnp.asarray(iteration, jnp.float32)
         alpha = jnp.where(
             it < 0,
@@ -123,7 +123,12 @@ class NeRF(BaseField):
         )
 
     def apply(
-        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+        self,
+        params: Dict[str, Array],
+        sampling: Sampling,
+        sched: Schedule,
+        *,
+        need_aux: bool = True,
     ) -> Dict[str, Array]:
         del need_aux  # NeRF has no penalty-only outputs
         batch_size, sampling_size = sampling.sample_pos.shape[:2]

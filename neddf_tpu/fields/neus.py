@@ -164,7 +164,7 @@ class NeuS(BaseField):
     def input_col_dim(self) -> int:
         return 6 + self.embed_dir_rank * 6 + self.sdf_layer_width
 
-    def init(self, key: Array):
+    def init(self, key: Array) -> Dict[str, Array]:
         n_sdf = self.sdf_layer_count  # 1 + (count-1)
         n_col = self.col_layer_count + 1  # 1 + (count-1) + final 3-ch
         keys = jax.random.split(key, n_sdf + n_col)
@@ -238,7 +238,12 @@ class NeuS(BaseField):
         return sdf_feature, gradients
 
     def apply(
-        self, params, sampling: Sampling, sched: Schedule, *, need_aux: bool = True
+        self,
+        params: Dict[str, Array],
+        sampling: Sampling,
+        sched: Schedule,
+        *,
+        need_aux: bool = True,
     ) -> Dict[str, Array]:
         del need_aux  # NeuS has no penalty-only outputs
         del sched  # NeuS has no warmups in the reference

@@ -80,9 +80,9 @@ def lookup(grid: OccupancyGrid, pos: Array) -> Array:
 
 def update_grid(
     grid: OccupancyGrid,
-    field,
-    params,
-    sched,
+    field: "object",
+    params: "dict",
+    sched: "object",
     key: Array,
     decay: float = 0.95,
     chunk: int = 65536,

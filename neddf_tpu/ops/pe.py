@@ -27,12 +27,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def pe_frequencies(rank: int, dtype=jnp.float32) -> Array:
+def pe_frequencies(rank: int, dtype: "jnp.dtype" = jnp.float32) -> Array:
     """[rank] frequencies 2**t (no pi factor, by reference design)."""
     return 2.0 ** jnp.arange(rank, dtype=dtype)
 
 
-def pe_lowpass_scale(rank: int, alpha, input_dim: int = 3) -> Array:
+def pe_lowpass_scale(rank: int, alpha: "Array | float", input_dim: int = 3) -> Array:
     """Coarse-to-fine frequency window, branchless over traced ``alpha``.
 
     Returns [1, rank*input_dim] in the (t, i) channel layout. Equals the

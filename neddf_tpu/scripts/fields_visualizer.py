@@ -32,13 +32,13 @@ import numpy as np
 
 
 def generate_mesh(
-    trainer,
+    trainer: "object",
     output_dir: Path,
     resolution: int = 64,
     threshold: float = 0.0275,
     cube_range: float = 1.1,
     field_name: str = "distance",
-):
+) -> tuple:
     """Voxelize + mesh a scalar field; returns (vertices, triangles).
 
     ``distance`` for NeDDF (reference default, iso 0.0275), ``sdf`` for
@@ -77,7 +77,9 @@ def generate_mesh(
     return vertices, triangles
 
 
-def export_field_slices(trainer, output_dir: Path, n_slices: int) -> None:
+def export_field_slices(
+    trainer: "object", output_dir: Path, n_slices: int
+) -> None:
     import cv2
 
     fields_dir = output_dir / "fields"

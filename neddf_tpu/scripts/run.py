@@ -100,7 +100,7 @@ def _supervised(argv, stale_seconds: float) -> None:
     )
 
 
-def main(argv=None) -> None:
+def main(argv: "list | None" = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     if argv and argv[0] == "--watchdog":

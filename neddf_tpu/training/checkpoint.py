@@ -149,7 +149,9 @@ def _import_neus(sd: Dict[str, Any], prefix: str, field: NeuS) -> Dict[str, Any]
     }
 
 
-def import_torch_state_dict(pth_path: Union[str, Path], renderer) -> Dict[str, Any]:
+def import_torch_state_dict(
+    pth_path: Union[str, Path], renderer: Any
+) -> Dict[str, Any]:
     """Convert a reference NeRFRender state_dict (.pth) to our params."""
     import torch
 
@@ -217,7 +219,7 @@ def _export_neus(params: Dict[str, Any], prefix: str, field: NeuS, sd) -> None:
 
 
 def export_torch_state_dict(
-    params: Dict[str, Any], renderer, pth_path: Union[str, Path]
+    params: Dict[str, Any], renderer: Any, pth_path: Union[str, Path]
 ) -> None:
     """Write our params as a reference-layout ``.pth`` state_dict.
 

@@ -165,7 +165,7 @@ def visible_range_frustum(
 
 
 def dataset_scene_geoms(
-    dataset, show_images: bool = True, show_ranges: bool = False,
+    dataset: "object", show_images: bool = True, show_ranges: bool = False,
     d_near: float = 4.0, d_far: float = 6.0,
 ) -> Dict[str, List]:
     """All per-camera geometry for the dataset view: pyramids, image

@@ -397,7 +397,7 @@ class DatasetVisualizerGUI:
                 self.scene.scene.add_geometry(f"camera_{idx}_range", rl, rmat)
 
 
-def run_app(make_gui) -> None:  # pragma: no cover - needs a display
+def run_app(make_gui: Any) -> None:  # pragma: no cover - needs a display
     """Initialize the open3d GUI app, build via ``make_gui()``, run."""
     o3d = _import_open3d()
     app = o3d.visualization.gui.Application.instance

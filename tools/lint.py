@@ -18,12 +18,15 @@ enforceable core with the stdlib only:
   I001  unsorted import block              (isort parity: stdlib <
         third-party < first-party groups, alphabetical within group)
   MT01  missing return annotation on public functions of neddf_tpu/
-        (a practical slice of mypy-strict's disallow_untyped_defs)
+  MT02  unannotated parameter on public functions of neddf_tpu/
+        (together, a practical slice of mypy-strict's
+        disallow_untyped_defs / disallow_incomplete_defs)
 
 plus a hard ``py_compile`` syntax gate. Run: ``python tools/lint.py``
 (exit 1 on findings) — wired into ``make lint`` and CI.
 """
 import ast
+import re
 import sys
 from pathlib import Path
 from typing import Iterator, List, Tuple
@@ -37,6 +40,18 @@ NOQA = "# noqa"
 
 _STDLIB = set(sys.stdlib_module_names)
 _FIRST_PARTY = {"neddf_tpu", "tests", "tools", "bench", "__graft_entry__"}
+
+
+def _long_token_exempt(line: str) -> bool:
+    """E501 escape for genuinely unbreakable tokens only: the line must
+    contain a single whitespace-delimited URL or filesystem-path token
+    long enough (> 32 chars) that wrapping cannot bring the line under
+    the limit. A merely-mentioned 'http' or '/root/' no longer exempts
+    the whole line (round-2 verdict, weak #6)."""
+    for tok in line.split():
+        if len(tok) > 32 and ("://" in tok or tok.count("/") >= 2):
+            return True
+    return False
 
 
 def _iter_py(paths: List[str]) -> Iterator[Path]:
@@ -83,12 +98,44 @@ def _names_used(tree: ast.AST) -> set:
         elif isinstance(node, ast.Attribute):
             # a.b.c -> record root name via the Name child (walk covers it)
             pass
-    # names referenced inside string annotations / __all__
+    # names referenced inside STRING ANNOTATIONS and __all__ only — a
+    # docstring word must not silence an unused import (the old
+    # any-identifier-shaped-Constant rule did exactly that)
+    ann_strings: List[str] = []
     for node in ast.walk(tree):
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            if node.value.isidentifier():
-                used.add(node.value)
+        if isinstance(node, ast.AnnAssign) and node.annotation is not None:
+            ann_strings.extend(_string_constants(node.annotation))
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if node.returns is not None:
+                ann_strings.extend(_string_constants(node.returns))
+            for a in (
+                node.args.posonlyargs + node.args.args + node.args.kwonlyargs
+                + [x for x in (node.args.vararg, node.args.kwarg) if x]
+            ):
+                if a.annotation is not None:
+                    ann_strings.extend(_string_constants(a.annotation))
+        elif isinstance(node, ast.Assign):
+            if any(
+                isinstance(t, ast.Name) and t.id == "__all__"
+                for t in node.targets
+            ):
+                ann_strings.extend(_string_constants(node.value))
+    for s in ann_strings:
+        # "Optional[foo.Bar]" -> {Optional, foo, Bar}
+        for tok in _IDENT_RE.findall(s):
+            used.add(tok)
     return used
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _string_constants(node: ast.AST) -> List[str]:
+    return [
+        n.value
+        for n in ast.walk(node)
+        if isinstance(n, ast.Constant) and isinstance(n.value, str)
+    ]
 
 
 def check_file(path: Path) -> List[str]:
@@ -107,11 +154,7 @@ def check_file(path: Path) -> List[str]:
         if NOQA in line:
             continue
         stripped = line.rstrip("\n")
-        if (
-            len(stripped) > MAX_LINE
-            and "http" not in stripped
-            and "/root/" not in stripped
-        ):
+        if len(stripped) > MAX_LINE and not _long_token_exempt(stripped):
             problems.append(
                 f"{rel}:{i}: E501 line too long ({len(stripped)} > {MAX_LINE})"
             )
@@ -214,14 +257,21 @@ def check_file(path: Path) -> List[str]:
         for node in _top_defs():
             if node.name.startswith("_") or node.lineno in noqa_lines:
                 continue
-            if node.returns is None and not any(
-                a.annotation is not None
-                for a in node.args.args + node.args.kwonlyargs
-            ):
+            if node.returns is None:
                 problems.append(
                     f"{rel}:{node.lineno}: MT01 public function "
-                    f"'{node.name}' has no type annotations"
+                    f"'{node.name}' has no return annotation"
                 )
+            args = node.args.posonlyargs + node.args.args + node.args.kwonlyargs
+            if args and args[0].arg in ("self", "cls"):
+                args = args[1:]
+            for a in args:
+                if a.annotation is None:
+                    problems.append(
+                        f"{rel}:{node.lineno}: MT02 parameter "
+                        f"'{a.arg}' of public function '{node.name}' "
+                        f"has no annotation"
+                    )
 
     return problems
 
