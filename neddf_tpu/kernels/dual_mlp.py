@@ -79,6 +79,13 @@ monolithic-B=4096 failure mode: its pre-activation residuals put that
 program at ~31GB of HBM, so it now fails loudly at compile time (OOM)
 instead of silently mis-running; grad_accum (or ``bwd_stash(False)``)
 is the path for such batch sizes either way.
+STATUS 2026-08-19 (minimized standalone repro: tools/repro_grad_nan.py):
+after the between-rounds toolchain refresh the silent-NaN mode no
+longer reproduces — the recompute-backward monolithic grad program is
+CLEAN at B = 1024/2048/3072/4096 in bf16 on both schedules, while the
+stash-backward B=4096 compile-OOM persists. The trainer guard therefore
+stays (it is what keeps default-config microbatches compilable); re-run
+the repro sweep on every toolchain update.
 """
 from __future__ import annotations
 
@@ -1043,8 +1050,8 @@ def dual_mlp_seg(
     out_dtype: str = "float32",
     interpret: bool = False,
     pe_aux: Tuple[Array, ...] = (),
-    pe=None,
-    n_tan=None,
+    pe: "object | None" = None,
+    n_tan: "int | None" = None,
 ) -> Tuple[Array, Array]:
     """Fused multi-segment dual-MLP.
 
