@@ -145,6 +145,55 @@ def select_samples(
     return sel_dists, sel_idx
 
 
+def coarsen_grid(
+    grid: OccupancyGrid, factor: int = 4, dilate: int = 1
+) -> OccupancyGrid:
+    """Conservative low-res grid for whole-RAY culling decisions.
+
+    Max-pools ``factor``^3 blocks of the binary occupancy and dilates by
+    ``dilate`` cells (3^3 max-filter per step), so a coarse cell is
+    occupied iff ANY fine cell in or adjacent to its block is — rays the
+    coarse grid calls empty are empty under the fine grid too. Values
+    become literal 0/1 flags with threshold 0.5 (the EMA-max densities
+    do not survive pooling meaningfully).
+    """
+    r = grid.resolution
+    assert r % factor == 0, (r, factor)
+    occ = (grid.values > grid.threshold).astype(jnp.float32)
+    occ = occ.reshape(
+        r // factor, factor, r // factor, factor, r // factor, factor
+    ).max(axis=(1, 3, 5))
+    for _ in range(dilate):
+        p = jnp.pad(occ, 1, mode="edge")
+        stacked = jnp.stack([
+            p[dx : dx + occ.shape[0], dy : dy + occ.shape[1],
+              dz : dz + occ.shape[2]]
+            for dx in range(3) for dy in range(3) for dz in range(3)
+        ])
+        occ = stacked.max(axis=0)
+    return OccupancyGrid(occ, grid.cube_range, 0.5)
+
+
+def ray_active(
+    grid: OccupancyGrid,
+    ray_orig: Array,
+    ray_dir: Array,
+    dist_near: float,
+    dist_far: float,
+    n_probe: int,
+) -> Array:
+    """Whole-ray occupancy test: does the ray pass ANY occupied cell?
+
+    Probes ``n_probe`` evenly spaced points on [near, far] against the
+    (coarse, dilated) grid — pair with ``coarsen_grid`` so the probe
+    step (far-near)/n_probe stays below the dilated cell size and thin
+    cells cannot be stepped over. Returns bool [B].
+    """
+    ts = jnp.linspace(dist_near, dist_far, n_probe, dtype=jnp.float32)
+    pos = ray_orig[:, None, :] + ray_dir[:, None, :] * ts[None, :, None]
+    return jnp.max(lookup(grid, pos), axis=-1) > 0.5
+
+
 def scatter_outputs(
     values: Array, sel_idx: Array, s: int, fill: float = 0.0
 ) -> Array:

@@ -321,6 +321,19 @@ class NeRFRender:
             ),
         )
 
+    def _ray_active_jit(self, n_probe: int):
+        """Cached jit of the whole-ray occupancy probe (grid as arg)."""
+        from neddf_tpu.ops.occupancy import ray_active
+
+        def probe(grid, calib, pose_r, pose_t, uv):
+            rays = create_rays(calib, pose_r, pose_t, uv)
+            return ray_active(
+                grid, rays.ray_orig, rays.ray_dir,
+                self.dist_near, self.dist_far, n_probe,
+            )
+
+        return self._cached_jit(("ray_probe", n_probe), lambda: jax.jit(probe))
+
     def _render_rays_jit(self, chunk: int):
         del chunk  # cache key only; shapes drive the actual specialisation
         return self._cached_jit(
@@ -348,11 +361,22 @@ class NeRFRender:
         budget_coarse: int = 16,
         budget_fine: int = 64,
         render_fn: Optional[Any] = None,
+        ray_cull: Optional[Any] = None,
+        ray_cull_factor: int = 4,
+        ray_cull_probes: int = 128,
     ) -> Dict[str, np.ndarray]:
         """Chunked full-image render (no grad), one compiled program.
 
         With ``occupancy`` (an ops.occupancy.OccupancyGrid) the field is
         only evaluated on each ray's top-budget occupied samples.
+        With ``ray_cull`` (same grid type) whole BACKGROUND rays are
+        skipped instead: a cheap probe against a coarsened+dilated copy
+        of the grid marks rays that never cross occupied space, and only
+        the active rays are rendered (chunks re-packed host-side; culled
+        pixels get the exact all-empty composite: color 0, depth
+        max_dist, transmittance 1). Per-ray granularity avoids the
+        per-sample gather/argsort cost that made ``occupancy`` culling
+        0.8x dense speed on v5e (ops/occupancy.py docstring).
         ``render_fn(params, calib, pose_r, pose_t, uv, key)`` overrides
         the per-chunk program — the trainer passes the mesh-sharded
         render here so eval tiles shard across devices.
@@ -377,18 +401,48 @@ class NeRFRender:
             )
         else:
             render_fn = self._render_rays_jit(chunk)
+
+        order: Optional[np.ndarray] = None
+        uv_render = uv_all
+        n_render = n
+        if ray_cull is not None:
+            from neddf_tpu.ops.occupancy import coarsen_grid
+
+            grid_small = (
+                coarsen_grid(ray_cull, ray_cull_factor)
+                if ray_cull_factor > 1 else ray_cull
+            )
+            probe_fn = self._ray_active_jit(ray_cull_probes)
+            flags = [
+                probe_fn(
+                    grid_small, calib, pose_r, pose_t,
+                    jnp.asarray(uv_all[below : below + 65536]),
+                )
+                for below in range(0, n, 65536)
+            ]
+            active = np.concatenate(jax.device_get(flags))
+            # active rays first (stable: raster order within each class);
+            # keep >= 1 ray so output dtypes/channels stay discoverable
+            order = np.argsort(~active, kind="stable")
+            n_render = max(int(active.sum()), 1)
+            uv_render = uv_all[order[:n_render]]
+
         # dispatch ALL chunks asynchronously, fetch once at the end — a
         # per-chunk np.asarray would sync the (tunnelled) device every
         # iteration and serialize transfer with compute
         pending: List[Dict[str, Array]] = []
         sizes: List[int] = []
-        for below in range(0, n, chunk):
-            above = min(n, below + chunk)
-            uv_chunk = uv_all[below:above]
+        # ONE key for every chunk: per-ray draws are pure functions of
+        # (key, pixel) (ops/sampling.py::_per_ray_uniform), so a shared
+        # key makes the image invariant to chunking/reordering — which
+        # is what lets ray_cull re-pack chunks without changing a pixel
+        key, sub = jax.random.split(key)
+        for below in range(0, n_render, chunk):
+            above = min(n_render, below + chunk)
+            uv_chunk = uv_render[below:above]
             pad = chunk - uv_chunk.shape[0]
             if pad:
                 uv_chunk = np.pad(uv_chunk, ((0, pad), (0, 0)), mode="edge")
-            key, sub = jax.random.split(key)
             result = render_fn(
                 params, calib, pose_r, pose_t, jnp.asarray(uv_chunk), sub
             )
@@ -399,7 +453,16 @@ class NeRFRender:
         for got, size in zip(fetched, sizes):
             for k in target_types:
                 outs[k].append(np.asarray(got[k])[:size])
-        return {k: np.concatenate(outs[k], 0).reshape(h, w, -1) for k in target_types}
+        flat = {k: np.concatenate(outs[k], 0) for k in target_types}
+        if order is not None:
+            # culled rays get the exact all-empty composite
+            background = {"depth": self.max_dist, "transmittance": 1.0}
+            for k in target_types:
+                v = flat[k].reshape(n_render, -1)
+                out = np.full((n, v.shape[1]), background.get(k, 0.0), v.dtype)
+                out[order[:n_render]] = v
+                flat[k] = out
+        return {k: flat[k].reshape(h, w, -1) for k in target_types}
 
     # ---------------------------------------------------- render_field_slice
     def render_field_slice(

@@ -34,6 +34,11 @@ def main() -> None:
         "--downsampling", type=int, default=1,
         help="render at 1/N resolution (PSNR/SSIM only at 1)",
     )
+    parser.add_argument(
+        "--ray-cull", action="store_true",
+        help="skip background rays via an occupancy grid built from the "
+        "loaded field (trainer.enable_ray_cull)",
+    )
     args = parser.parse_args()
 
     if args.device and args.device.startswith("cpu"):
@@ -63,6 +68,8 @@ def main() -> None:
     ckpt = model_dir / f"model_{args.epoch:05}.ckpt"
     pth = model_dir / f"model_{args.epoch:05}.pth"
     trainer.load_pretrained_model(ckpt if ckpt.exists() else pth)
+    if args.ray_cull:
+        trainer.enable_ray_cull()
 
     save_dir = output_dir / "eval"
     save_dir.mkdir(exist_ok=True)

@@ -123,6 +123,9 @@ class BaseTrainer:
         self.log_interval = max(1, int(log_interval))
         self._pending_logs: List[Any] = []
         self._pending_durations: List[float] = []
+        # opt-in whole-ray occupancy culling for eval renders (set via
+        # enable_ray_cull, e.g. run_eval --ray-cull)
+        self.eval_ray_cull: Optional[Any] = None
         self._last_loss = float("nan")
         # pose refinement: the reference exposes each Camera's 6-DoF delta
         # as an nn.Parameter (camera.py:40) but its default optimizer only
@@ -285,6 +288,17 @@ class BaseTrainer:
             self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         self.params = self._place_params(jax.device_get(self.params))
 
+    def enable_ray_cull(
+        self, resolution: int = 64, threshold: float = 0.01
+    ) -> None:
+        """Skip background rays in eval renders: build an occupancy grid
+        from the CURRENT field and cull whole rays that never cross
+        occupied space (render/renderer.py::render_image ray_cull)."""
+        self.eval_ray_cull = self.neural_render.build_occupancy(
+            self.params, jax.random.PRNGKey(self.seed),
+            resolution=resolution, threshold=threshold,
+        )
+
     def _eval_render_fn(self):
         """Mesh-sharded eval render: pixel chunks shard over every device
         and the rendered tiles all-gather back (BASELINE.json design).
@@ -314,6 +328,7 @@ class BaseTrainer:
             self.params, self.calib, r, t, w, h,
             ["color", "depth"], downsampling, self.chunk,
             render_fn=self._eval_render_fn(),
+            ray_cull=self.eval_ray_cull,
         )
         rgb_np = np.clip(images["color"] * 255, 0, 255).astype(np.uint8)
         depth_np = np.clip(

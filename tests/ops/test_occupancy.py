@@ -128,6 +128,81 @@ def test_accel_runs_with_tight_budget(tiny_renderer, key, calib_params):
     assert bool(jnp.all(jnp.isfinite(out["color"])))
 
 
+def test_coarsen_grid_pools_and_dilates():
+    from neddf_tpu.ops.occupancy import coarsen_grid
+
+    vals = jnp.zeros((16, 16, 16)).at[5, 9, 2].set(1.0)
+    grid = OccupancyGrid(vals, 1.1, 0.5)
+    coarse = coarsen_grid(grid, factor=4, dilate=0)
+    assert coarse.resolution == 4
+    occ = np.asarray(coarse.values) > 0.5
+    assert occ[1, 2, 0] and occ.sum() == 1  # block containing (5,9,2)
+    dilated = coarsen_grid(grid, factor=4, dilate=1)
+    occd = np.asarray(dilated.values) > 0.5
+    assert occd.sum() == 2 * 3 * 2  # 3^3 neighbourhood clipped at z=0
+    # conservative: every fine-occupied point stays coarse-occupied
+    assert occd[1, 2, 0]
+
+
+def test_ray_active_hits_and_misses():
+    from neddf_tpu.ops.occupancy import ray_active
+
+    grid = _sphere_grid(radius=0.5)
+    orig = jnp.array([[0.0, 0.0, -4.0], [0.0, 0.0, -4.0]])
+    dirs = jnp.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])  # hit / miss
+    act = ray_active(grid, orig, dirs, 2.0, 6.0, 128)
+    np.testing.assert_array_equal(np.asarray(act), [True, False])
+
+
+def test_render_image_ray_cull_exact(tiny_renderer, key, calib_params):
+    """ray_cull must not change a single rendered pixel: active rays
+    reproduce the dense render bitwise (chunk-invariant shared key) and
+    culled rays get the exact all-empty composite."""
+    from neddf_tpu.geometry import PinholeCalib
+    from neddf_tpu.ops.occupancy import coarsen_grid, ray_active
+    from neddf_tpu.geometry.rays import create_rays
+
+    r = tiny_renderer
+    params = r.init(key)
+    calib = PinholeCalib(calib_params)
+    pose_r, pose_t = jnp.eye(3), jnp.array([0.0, 0.0, 4.0])
+    grid = _sphere_grid(resolution=16, radius=0.4)
+
+    kwargs = dict(
+        target_types=["color", "depth", "transmittance"],
+        downsampling=32, chunk=64, key=jax.random.PRNGKey(3),
+    )
+    dense = r.render_image(
+        params, calib, pose_r, pose_t, 300, 260, **kwargs
+    )
+    culled = r.render_image(
+        params, calib, pose_r, pose_t, 300, 260,
+        ray_cull=grid, ray_cull_factor=4, ray_cull_probes=64, **kwargs
+    )
+    # recompute the probe to know which pixels were culled
+    h, w = dense["color"].shape[:2]
+    us = (np.tile(np.arange(w), h) * 32).astype(np.int32)
+    vs = (np.repeat(np.arange(h), w) * 32).astype(np.int32)
+    rays = create_rays(
+        calib, pose_r, pose_t, jnp.asarray(np.stack([us, vs], 1))
+    )
+    active = np.asarray(ray_active(
+        coarsen_grid(grid, 4), rays.ray_orig, rays.ray_dir,
+        r.dist_near, r.dist_far, 64,
+    )).reshape(h, w)
+    assert 0 < active.sum() < active.size  # both classes exercised
+    for k in ("color", "depth", "transmittance"):
+        np.testing.assert_array_equal(
+            dense[k][active], culled[k][active], err_msg=f"{k} (active)"
+        )
+    bg = {"color": 0.0, "depth": r.max_dist, "transmittance": 1.0}
+    for k, v in bg.items():
+        np.testing.assert_array_equal(
+            culled[k][~active], np.full_like(culled[k][~active], v),
+            err_msg=f"{k} (culled)",
+        )
+
+
 def test_update_grid_ema_max(tiny_renderer, key):
     """update_grid probes the field on a jittered lattice and EMA-maxes;
     a fresh (all-inf) grid becomes finite after the first update and its

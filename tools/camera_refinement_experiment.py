@@ -1,0 +1,174 @@
+"""End-to-end camera-pose-refinement validation (round-2 verdict #5).
+
+The reference stores each camera's 6-DoF correction as an nn.Parameter
+(neddf/camera/camera.py:40) but never puts it in an optimizer; neddf_tpu
+ships it as the trainer's ``optimize_camera`` flag. This experiment
+proves the capability at production scale: inject known pose noise into
+every TRAIN camera of the bundled machine scene, train the full NeDDF
+config, and measure (a) how much of the injected pose error the learned
+deltas cancel and (b) test-split PSNR against the clean-pose run.
+
+Three modes (same schedule, same seed, identical injected noise):
+
+    clean       clean poses, no camera optimization  (upper anchor)
+    perturbed   noisy poses,  no camera optimization  (lower anchor)
+    optimized   noisy poses,  optimize_camera=true    (the claim)
+
+Usage (TPU; ~300 epochs each on the 500x500 machine scene):
+
+    python tools/camera_refinement_experiment.py --mode clean
+    python tools/camera_refinement_experiment.py --mode perturbed
+    python tools/camera_refinement_experiment.py --mode optimized
+
+    # CPU smoke (tiny net, 8 epochs):
+    python tools/camera_refinement_experiment.py --mode optimized \
+        --device cpu --epochs 8 --tiny
+
+Each run trains under outputs/camref_<mode>/ and finishes by printing
+one RESULT line: pose error before/after deltas (train split) and
+PSNR/SSIM on test cameras 0/12/24 (clean poses). The CPU-scale
+capability test lives in tests/training/test_camera_refinement.py;
+measured v5e results are recorded in BASELINE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+NOISE_ROT = 0.01    # rad, per rotvec component
+NOISE_TRANS = 0.02  # scene units, per translation component
+NOISE_SEED = 7
+
+TINY_NET = {
+    "embed_pos_rank": 4, "embed_dir_rank": 2,
+    "ddf_layer_count": 4, "ddf_layer_width": 16,
+    "col_layer_count": 3, "col_layer_width": 16, "skips": [1],
+    "compute_dtype": "float32",
+}
+
+
+def pose_error(initials: np.ndarray, deltas: np.ndarray,
+               true_initials: np.ndarray) -> float:
+    """Mean pose discrepancy (Frobenius R + L2 t) vs the clean poses."""
+    from neddf_tpu.geometry.se3 import camera_pose
+
+    err = 0.0
+    for i in range(initials.shape[0]):
+        r, t = camera_pose(initials[i], deltas[i])
+        r0, t0 = camera_pose(true_initials[i], np.zeros(6, np.float32))
+        err += float(
+            np.linalg.norm(np.asarray(r) - np.asarray(r0))
+            + np.linalg.norm(np.asarray(t) - np.asarray(t0))
+        )
+    return err / initials.shape[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["clean", "perturbed", "optimized"],
+                    required=True)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--device", type=str, default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny net + sphere scene (CPU smoke)")
+    ap.add_argument("--test-cameras", type=int, nargs="*",
+                    default=[0, 12, 24])
+    args = ap.parse_args()
+
+    if args.device and args.device.startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from neddf_tpu import config as config_lib
+
+    overrides = [
+        f"trainer.epoch_max={args.epochs}",
+        f"trainer.epoch_save_model={max(args.epochs // 2, 1)}",
+        f"trainer.epoch_test_rendering={max(args.epochs // 3, 1)}",
+        "trainer.epoch_save_fields=100000",
+        "dataset=machine",
+    ]
+    if args.mode == "optimized":
+        overrides += ["trainer.optimize_camera=true",
+                      "trainer.camera_optimizer_lr=0.001"]
+    if args.device:
+        overrides.append(f"trainer.device={args.device}")
+    cfg = config_lib.compose(REPO / "config", overrides=overrides)
+    if args.tiny:
+        cfg["network"].update(TINY_NET)
+        cfg["render"].update({"sample_coarse": 4, "sample_fine": 4})
+        cfg["trainer"].update({"batch_size": 64, "chunk": 64})
+        from neddf_tpu.data.synthetic import generate_sphere_dataset
+
+        scene = generate_sphere_dataset(
+            "/tmp/camref_tiny_scene", n_train=4, n_test=2, image_size=48
+        )
+        cfg["dataset"]["dataset_dir"] = str(scene)
+    else:
+        cfg["dataset"]["dataset_dir"] = str(REPO / "data/machine")
+
+    run_dir = REPO / "outputs" / f"camref_{args.mode}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    config_lib.save_snapshot(cfg, overrides, run_dir)
+    os.chdir(run_dir)
+
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    clean = np.asarray(trainer.camera_initials).copy()
+    n_cam = clean.shape[0]
+    rng = np.random.default_rng(NOISE_SEED)
+    noise = np.concatenate(
+        [rng.normal(0.0, NOISE_ROT, (n_cam, 3)),
+         rng.normal(0.0, NOISE_TRANS, (n_cam, 3))], axis=1
+    ).astype(np.float32)
+    if args.mode != "clean":
+        trainer.camera_initials = trainer._put(clean + noise)
+        err0 = pose_error(clean + noise, np.zeros_like(clean), clean)
+        print(f"[camref] injected pose error {err0:.5f} "
+              f"(rot sigma {NOISE_ROT}, trans sigma {NOISE_TRANS})")
+
+    trainer.run_train()
+
+    result = {"mode": args.mode, "epochs": args.epochs}
+    if args.mode != "clean":
+        deltas = np.asarray(jax.device_get(trainer.camera_deltas))
+        result["pose_err_injected"] = err0
+        result["pose_err_after_deltas"] = pose_error(
+            clean + noise, deltas, clean
+        )
+        result["delta_abs_max"] = float(np.abs(deltas).max())
+
+    # test-split eval on CLEAN poses (separate trainer, same params)
+    cfg_eval = config_lib.compose(REPO / "config", overrides=overrides)
+    cfg_eval["dataset"] = dict(cfg["dataset"], data_split="test")
+    cfg_eval["network"] = cfg["network"]
+    cfg_eval["render"] = cfg["render"]
+    cfg_eval["trainer"] = dict(cfg["trainer"], optimize_camera=False)
+    ev = config_lib.instantiate(cfg_eval["trainer"], global_config=cfg_eval)
+    ev.params = jax.device_put(jax.device_get(trainer.params), ev.device)
+    psnrs = {}
+    eval_dir = run_dir / "eval"
+    for cam in args.test_cameras:
+        if cam >= len(ev.dataset):
+            continue
+        ev.render_test(eval_dir, cam, 1)  # prints psnr/ssim
+        import cv2
+
+        rgb = cv2.imread(str(eval_dir / f"{cam:03}_rgb.png"))
+        gt = cv2.imread(str(eval_dir / f"{cam:03}_rgb_gt.png"))
+        from neddf_tpu.training.metrics import peak_signal_noise_ratio
+
+        psnrs[str(cam)] = float(peak_signal_noise_ratio(rgb, gt))
+    result["test_psnr"] = psnrs
+    print("RESULT " + json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
