@@ -372,11 +372,16 @@ class NeRFRender:
         With ``ray_cull`` (same grid type) whole BACKGROUND rays are
         skipped instead: a cheap probe against a coarsened+dilated copy
         of the grid marks rays that never cross occupied space, and only
-        the active rays are rendered (chunks re-packed host-side; culled
-        pixels get the exact all-empty composite: color 0, depth
-        max_dist, transmittance 1). Per-ray granularity avoids the
-        per-sample gather/argsort cost that made ``occupancy`` culling
-        0.8x dense speed on v5e (ops/occupancy.py docstring).
+        the active rays are rendered (chunks re-packed host-side).
+        Active rays reproduce the dense render BITWISE (shared chunk
+        key); culled pixels get the IDEALIZED empty composite (color 0,
+        depth max_dist, transmittance 1) — the dense render of those
+        rays differs slightly (sub-threshold density still composites
+        and T_final=(1+eps)^(S-1)), an approximation bounded by the grid
+        threshold. Don't quote headline PSNR from --ray-cull renders.
+        Per-ray granularity avoids the per-sample gather/argsort cost
+        that made ``occupancy`` culling 0.8x dense speed on v5e
+        (ops/occupancy.py docstring).
         ``render_fn(params, calib, pose_r, pose_t, uv, key)`` overrides
         the per-chunk program — the trainer passes the mesh-sharded
         render here so eval tiles shard across devices.

@@ -55,16 +55,27 @@ def draw_pixel_batch(
     return us, vs, k_render
 
 
+#: target keys this step knows how to construct; a loss class whose
+#: ``key_target`` is not listed here cannot be trained (clear error in
+#: make_local_grads instead of a KeyError mid-trace)
+KNOWN_TARGET_KEYS = ("color", "mask", "fields_penalty")
+
+
 def construct_targets(
-    loss_types: Sequence[str], rgb_cam: Array, mask_cam: Array, us: Array, vs: Array
+    target_keys: Sequence[str], rgb_cam: Array, mask_cam: Array, us: Array, vs: Array
 ) -> Dict[str, Array]:
-    """Device-side GT gather (reference: base_trainer.py:206-245)."""
+    """Device-side GT gather (reference: base_trainer.py:206-245).
+
+    ``target_keys`` are the losses' ``key_target`` attributes (NOT class
+    names), so custom BaseLoss subclasses reusing a known target work
+    without editing this function.
+    """
     targets: Dict[str, Array] = {}
-    if "ColorLoss" in loss_types:
+    if "color" in target_keys:
         targets["color"] = (1.0 / 256.0) * rgb_cam[vs, us, :]
-    if "MaskBCELoss" in loss_types or "MaskMSELoss" in loss_types:
+    if "mask" in target_keys:
         targets["mask"] = (1.0 / 256.0) * mask_cam[vs, us]
-    if "FieldsConstraintLoss" in loss_types:
+    if "fields_penalty" in target_keys:
         targets["fields_penalty"] = jnp.zeros(us.shape, jnp.float32)
     return targets
 
@@ -95,7 +106,14 @@ def make_local_grads(
     * ``grads_cam`` is the camera-delta gradient pytree when
       ``optimize_camera`` else None.
     """
-    loss_types = [type(fn).__name__ for fn in loss_functions]
+    target_keys = [fn.key_target for fn in loss_functions]
+    unknown = [k for k in target_keys if k not in KNOWN_TARGET_KEYS]
+    if unknown:
+        raise ValueError(
+            f"loss key_target(s) {unknown} have no ground-truth "
+            f"constructor; known targets: {KNOWN_TARGET_KEYS} "
+            "(training/step.py::construct_targets)"
+        )
     if batch_size % grad_accum:
         raise ValueError(f"grad_accum={grad_accum} must divide {batch_size}")
 
@@ -111,6 +129,14 @@ def make_local_grads(
         ray_slice,
         local_batch: int,
     ):
+        # local_batch is a static Python int at trace time — validate the
+        # LOCAL split here (the global batch_size check above does not
+        # imply per-device divisibility, e.g. batch 8 / data 4 / accum 8)
+        if local_batch % grad_accum:
+            raise ValueError(
+                f"grad_accum={grad_accum} must divide the per-device "
+                f"batch {local_batch} (global batch {batch_size})"
+            )
         us, vs, k_render = draw_pixel_batch(
             key, batch_size, image_width, image_height
         )
@@ -120,7 +146,7 @@ def make_local_grads(
         uv = jnp.stack([us, vs], axis=1)
         rgb_cam = rgb_images[camera_id]
         mask_cam = mask_images[camera_id]
-        targets = construct_targets(loss_types, rgb_cam, mask_cam, us, vs)
+        targets = construct_targets(target_keys, rgb_cam, mask_cam, us, vs)
 
         def loss_fn(p, deltas, uv_mb, targets_mb):
             pose_r, pose_t = camera_pose(

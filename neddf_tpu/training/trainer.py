@@ -208,7 +208,7 @@ class BaseTrainer:
         self.loss_functions = [
             config_lib.instantiate(fn) for fn in self.config["loss"]["functions"]
         ]
-        self.loss_types = [type(fn).__name__ for fn in self.loss_functions]
+        self.loss_types = [fn.key_target for fn in self.loss_functions]
 
     # --------------------------------------------------------------- mesh
     def _resolve_mesh(self, mesh_cfg: Optional[Dict[str, Any]]):
@@ -294,8 +294,16 @@ class BaseTrainer:
         """Skip background rays in eval renders: build an occupancy grid
         from the CURRENT field and cull whole rays that never cross
         occupied space (render/renderer.py::render_image ray_cull)."""
+        params = self.params
+        if self.mesh is not None and self._n_model > 1:
+            # width-sharded params must not reach field.apply outside the
+            # shard_map tp_gather path (same GSPMD hazard documented in
+            # render_field_slices); the 64^3 probe is tiny — run on host
+            params = jax.tree_util.tree_map(
+                jnp.asarray, jax.device_get(self.params)
+            )
         self.eval_ray_cull = self.neural_render.build_occupancy(
-            self.params, jax.random.PRNGKey(self.seed),
+            params, jax.random.PRNGKey(self.seed),
             resolution=resolution, threshold=threshold,
         )
 

@@ -23,7 +23,15 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_DATA = "/root/reference/data/bunny_smoke"
+# the bunny_smoke scene is BUNDLED (data/bunny_smoke, round-4 verdict
+# item 6) so the parity tests are hermetic; the reference mount is only
+# a fallback for older checkouts
+_REPO_DATA = os.path.join(os.path.dirname(__file__), "..", "data", "bunny_smoke")
+REFERENCE_DATA = (
+    os.path.abspath(_REPO_DATA)
+    if os.path.isdir(_REPO_DATA)
+    else "/root/reference/data/bunny_smoke"
+)
 if not os.path.isdir(REFERENCE_DATA):
     # hermetic fallback: generate an analytic scene so the suite runs
     # without the reference repository mounted

@@ -139,7 +139,7 @@ def test_coarsen_grid_pools_and_dilates():
     assert occ[1, 2, 0] and occ.sum() == 1  # block containing (5,9,2)
     dilated = coarsen_grid(grid, factor=4, dilate=1)
     occd = np.asarray(dilated.values) > 0.5
-    assert occd.sum() == 2 * 3 * 2  # 3^3 neighbourhood clipped at z=0
+    assert occd.sum() == 3 * 3 * 2  # 3^3 neighbourhood clipped at z=0
     # conservative: every fine-occupied point stays coarse-occupied
     assert occd[1, 2, 0]
 
@@ -154,19 +154,27 @@ def test_ray_active_hits_and_misses():
     np.testing.assert_array_equal(np.asarray(act), [True, False])
 
 
-def test_render_image_ray_cull_exact(tiny_renderer, key, calib_params):
-    """ray_cull must not change a single rendered pixel: active rays
-    reproduce the dense render bitwise (chunk-invariant shared key) and
-    culled rays get the exact all-empty composite."""
+def test_render_image_ray_cull_exact(tiny_renderer, key):
+    """ray_cull active rays reproduce the dense render bitwise
+    (chunk-invariant shared key); culled rays get the idealized
+    all-empty composite the re-pack fills in.
+
+    Geometry note: the calib is CENTERED on the rendered grid so central
+    rays hit the sphere and corner rays miss the (dilated) cube — with
+    the 800x800 fixture calib every test ray passes the cube corner and
+    no ray is ever culled. The grid is 32^3 so the factor-4 coarse grid
+    is 8^3: dilating a 4^3 coarse grid of a central sphere marks the
+    whole cube occupied.
+    """
     from neddf_tpu.geometry import PinholeCalib
+    from neddf_tpu.geometry.camera import create_rays
     from neddf_tpu.ops.occupancy import coarsen_grid, ray_active
-    from neddf_tpu.geometry.rays import create_rays
 
     r = tiny_renderer
     params = r.init(key)
-    calib = PinholeCalib(calib_params)
+    calib = PinholeCalib(jnp.array([300.0, 300.0, 128.0, 112.0]))
     pose_r, pose_t = jnp.eye(3), jnp.array([0.0, 0.0, 4.0])
-    grid = _sphere_grid(resolution=16, radius=0.4)
+    grid = _sphere_grid(resolution=32, radius=0.4)
 
     kwargs = dict(
         target_types=["color", "depth", "transmittance"],

@@ -16,7 +16,10 @@ from pathlib import Path
 import pytest
 
 from neddf_tpu import config as config_lib
-from neddf_tpu.training.metrics import peak_signal_noise_ratio
+from neddf_tpu.training.metrics import (
+    peak_signal_noise_ratio,
+    structural_similarity,
+)
 
 REPO = Path(__file__).resolve().parents[2]
 PRETRAINED = REPO / "pretrained" / "machine_neddf"
@@ -44,8 +47,13 @@ def test_pretrained_artifact_is_hermetic(tmp_path):
     trainer.render_test(tmp_path, 0, ds)
     rgb = cv2.imread(str(tmp_path / "000_rgb.png"))
     gt_full = cv2.imread(str(tmp_path / "000_rgb_gt.png"))
-    gt = cv2.resize(
-        gt_full, (rgb.shape[1], rgb.shape[0]), interpolation=cv2.INTER_AREA
-    )
+    # compare against POINT-SAMPLED GT: the renderer casts rays through
+    # the exact pixel centers u=ds*k, so gt[::ds] is the matching signal
+    # (INTER_AREA-averaged GT adds ~7 dB of pure aliasing error and made
+    # the old >20 dB bar near-vacuous — round-3 verdict weak #7).
+    # Measured 2026-08-19 on this artifact: 29.61 dB / 0.9686 SSIM.
+    gt = gt_full[::ds, ::ds][: rgb.shape[0], : rgb.shape[1]]
     psnr = peak_signal_noise_ratio(rgb, gt)
-    assert psnr > 20.0, f"pretrained render PSNR {psnr:.2f} dB — artifact broken"
+    ssim = structural_similarity(rgb, gt, channel_axis=2)
+    assert psnr > 27.5, f"pretrained render PSNR {psnr:.2f} dB — artifact broken"
+    assert ssim > 0.94, f"pretrained render SSIM {ssim:.4f} — artifact broken"
