@@ -52,13 +52,13 @@ from neddf_tpu.ops.dual import (
     dual_value,
     linear_dual,
     pe_dual,
-    pe_dual_directional,
+    pe_dual_directional_mip,
 )
 from neddf_tpu.ops.pe import (
     pe_grad_scale,
     pe_lowpass_scale,
     pe_weights,
-    positional_encoding,
+    positional_encoding_mip,
 )
 
 Array = jax.Array
@@ -282,13 +282,13 @@ class NeDDF(BaseField):
                 )
 
         else:
-            from neddf_tpu.ops.dual import pe_dual_planes
+            from neddf_tpu.ops.dual import pe_dual_planes_mip
 
             cd = jnp.dtype(self.compute_dtype)
             cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)
-            w_mip = pe_weights(var, self.embed_pos_rank)
-            emb_v, emb_j = pe_dual_planes(
-                pos, self.embed_pos_rank, crow * w_mip
+            # lane-packed, bitwise = pe_dual_planes(pos, rank, crow * w_mip)
+            emb_v, emb_j = pe_dual_planes_mip(
+                pos, self.embed_pos_rank, var=var, chan_scale=crow
             )
             v0, m = pad_rows(cast(emb_v))
             j0, _ = pad_rows(cast(emb_j), axis=1)
@@ -373,10 +373,11 @@ class NeDDF(BaseField):
                 pe_aux=(lowpass, var),
             )
         else:
-            w_mip = pe_weights(var, self.embed_pos_rank)
-            embed_dir = positional_encoding(direction, self.embed_dir_rank)
-            ep_v2, ep_t = pe_dual_directional(
-                pos, self.embed_pos_rank, t_feat_dir, lowpass * w_mip
+            embed_dir = positional_encoding_mip(direction, self.embed_dir_rank)
+            # lane-packed, bitwise = pe_dual_directional(.., lowpass * w_mip)
+            ep_v2, ep_t = pe_dual_directional_mip(
+                pos, self.embed_pos_rank, t_feat_dir, var=var,
+                chan_scale=lowpass,
             )
             vs = (cast(ep_v2), cast(embed_dir), cast(norm_dir), v_feat)
             js = (cast(ep_t)[None], t_feat[None])
@@ -591,9 +592,10 @@ class NeDDF(BaseField):
             # EVAL fast path: the color-branch Jacobian's only consumer is
             # the constraints_color penalty — skip the 3 tangent streams
             # (the dual color kernel is ~3x the value-only cost)
-            weights = pe_weights(var, self.embed_pos_rank)
-            embed_dir = positional_encoding(direction, self.embed_dir_rank)
-            ep_val = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
+            embed_dir = positional_encoding_mip(direction, self.embed_dir_rank)
+            ep_val = positional_encoding_mip(
+                pos, self.embed_pos_rank, var=var, chan_scale=lowpass
+            )
             if fused:
                 from neddf_tpu.kernels.dual_mlp import pad_rows
                 from neddf_tpu.kernels.mlp import TILE_M as MLP_TILE, mlp_seg
@@ -666,10 +668,9 @@ class NeDDF(BaseField):
                 t_feat, lowpass, var, cast,
             )
         else:
-            weights = pe_weights(var, self.embed_pos_rank)
-            embed_dir = positional_encoding(direction, self.embed_dir_rank)
-            ep_v2, ep_t = pe_dual_directional(
-                pos, self.embed_pos_rank, t_dir, lowpass * weights
+            embed_dir = positional_encoding_mip(direction, self.embed_dir_rank)
+            ep_v2, ep_t = pe_dual_directional_mip(
+                pos, self.embed_pos_rank, t_dir, var=var, chan_scale=lowpass
             )
             t_feat = jnp.sum(
                 dual_jacobian(features) * cast(t_dir)[:, :, None], axis=1

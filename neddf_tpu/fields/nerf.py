@@ -29,7 +29,7 @@ from neddf_tpu.fields.base import (
 )
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.ops.activations import ACTIVATIONS
-from neddf_tpu.ops.pe import pe_lowpass_scale, pe_weights, positional_encoding
+from neddf_tpu.ops.pe import pe_lowpass_scale, positional_encoding_mip
 
 Array = jax.Array
 
@@ -140,9 +140,12 @@ class NeRF(BaseField):
         var = sampling.diag_variance.reshape(-1, 3)
 
         lowpass = pe_lowpass_scale(self.embed_pos_rank, sched.lowpass_alpha)
-        weights = pe_weights(var, self.embed_pos_rank)
-        embed_pos = positional_encoding(pos, self.embed_pos_rank, lowpass * weights)
-        embed_dir = positional_encoding(direction, self.embed_dir_rank)
+        # lane-packed PE (ops/pe.py): bitwise-equal to
+        # positional_encoding(pos, rank, lowpass * pe_weights(var, rank))
+        embed_pos = positional_encoding_mip(
+            pos, self.embed_pos_rank, var=var, chan_scale=lowpass
+        )
+        embed_dir = positional_encoding_mip(direction, self.embed_dir_rank)
 
         cd = jnp.dtype(self.compute_dtype)
         cast = (lambda t: t.astype(cd)) if cd != jnp.float32 else (lambda t: t)

@@ -32,7 +32,7 @@ from neddf_tpu.fields.base import (
 )
 from neddf_tpu.geometry.rays import Sampling
 from neddf_tpu.ops.activations import ACTIVATIONS
-from neddf_tpu.ops.pe import positional_encoding
+from neddf_tpu.ops.pe import positional_encoding_mip
 
 Array = jax.Array
 
@@ -123,7 +123,7 @@ class NeuS(BaseField):
         from neddf_tpu.kernels.sdf_mlp import TILE_M, sdf_mlp
         from neddf_tpu.ops.sdf_grad import pe_chain_to_pos
 
-        embed_pos = positional_encoding(pos, self.embed_pos_rank)
+        embed_pos = positional_encoding_mip(pos, self.embed_pos_rank)
         w_hidden = self.sdf_layer_width
         weights, biases, layout = [], [], []
         for li, layer in enumerate(params["layers_sdf"]):
@@ -259,7 +259,7 @@ class NeuS(BaseField):
             sdf_feature, gradients = self._trunk_sweep(params, pos)
         else:
             def trunk(p: Array) -> Array:
-                embed_pos = positional_encoding(p, self.embed_pos_rank)
+                embed_pos = positional_encoding_mip(p, self.embed_pos_rank)
                 hx = embed_pos
                 for layer_id, layer in enumerate(params["layers_sdf"]):
                     hx = act(linear_apply(layer, hx))
@@ -285,7 +285,7 @@ class NeuS(BaseField):
                 gradients = jax.lax.psum(gradients, self.tp_axis) / n
         sdf = sdf_feature[:, :1]
 
-        embed_dir = positional_encoding(direction, self.embed_dir_rank)
+        embed_dir = positional_encoding_mip(direction, self.embed_dir_rank)
         if self._use_fused():
             from neddf_tpu.kernels.dual_mlp import pad_rows
             from neddf_tpu.kernels.mlp import TILE_M, mlp_seg

@@ -1,4 +1,9 @@
-from neddf_tpu.geometry.se3 import rodrigues, camera_pose  # noqa: F401
+from neddf_tpu.geometry.se3 import (  # noqa: F401
+    aligned_pose_error,
+    camera_pose,
+    rodrigues,
+    umeyama_alignment,
+)
 from neddf_tpu.geometry.camera import (  # noqa: F401
     PinholeCalib,
     create_rays,

@@ -89,3 +89,75 @@ def camera_pose(initial_param: Array, delta_param: Array) -> Tuple[Array, Array]
     r = ri @ r0
     t = vi @ delta_param[3:6] + ri @ t0
     return r, t
+
+
+def umeyama_alignment(
+    src: "np.ndarray", dst: "np.ndarray", with_scale: bool = True
+) -> Tuple["np.ndarray", "np.ndarray", float]:
+    """Least-squares similarity transform aligning point sets (Umeyama 1991).
+
+    Returns (r_g [3,3], t_g [3], s) minimizing ``||s * r_g @ src_i + t_g
+    - dst_i||^2``. Used to remove the global SE(3)(+scale) GAUGE freedom
+    before measuring camera-pose error in joint field+pose optimization
+    (BARF-style evaluation): a jointly trained scene can converge to the
+    true geometry expressed in a globally transformed world frame, which
+    raw pose comparison misreads as failure.
+
+    Args:
+        src: [N, 3] points (estimated camera centers).
+        dst: [N, 3] points (true camera centers).
+        with_scale: solve for the scale gauge too (else s = 1).
+    """
+    import numpy as np
+
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(axis=0), dst.mean(axis=0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / src.shape[0]
+    u, d, vt = np.linalg.svd(cov)
+    sgn = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        sgn[2, 2] = -1.0
+    r_g = u @ sgn @ vt
+    if with_scale:
+        var_s = np.square(xs).sum() / src.shape[0]
+        s = float((d * np.diag(sgn)).sum() / max(var_s, 1e-30))
+    else:
+        s = 1.0
+    t_g = mu_d - s * r_g @ mu_s
+    return r_g, t_g, s
+
+
+def aligned_pose_error(
+    initials: "np.ndarray",
+    deltas: "np.ndarray",
+    true_initials: "np.ndarray",
+    with_scale: bool = True,
+) -> float:
+    """Gauge-aligned mean pose error (Frobenius on R + L2 on centers).
+
+    Solves the global similarity gauge over CAMERA CENTERS with
+    :func:`umeyama_alignment`, applies it to the estimated poses, then
+    averages ``||r_g @ R_i - R0_i||_F + ||s * r_g @ T_i + t_g - T0_i||``.
+    Use the SAME function on the before/after pose sets so both sides
+    get the gauge removal.
+    """
+    import numpy as np
+
+    n = initials.shape[0]
+    rs, ts, r0s, t0s = [], [], [], []
+    for i in range(n):
+        r, t = camera_pose(initials[i], deltas[i])
+        r0, t0 = camera_pose(true_initials[i], jnp.zeros(6, jnp.float32))
+        rs.append(np.asarray(r)); ts.append(np.asarray(t))
+        r0s.append(np.asarray(r0)); t0s.append(np.asarray(t0))
+    ts_a, t0s_a = np.stack(ts), np.stack(t0s)
+    r_g, t_g, s = umeyama_alignment(ts_a, t0s_a, with_scale)
+    err = 0.0
+    for i in range(n):
+        err += float(
+            np.linalg.norm(r_g @ rs[i] - r0s[i])
+            + np.linalg.norm(s * r_g @ ts_a[i] + t_g - t0s_a[i])
+        )
+    return err / n

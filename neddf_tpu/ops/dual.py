@@ -133,6 +133,129 @@ def pe_dual_planes(
     return v, j
 
 
+def _packed_pe_pieces(
+    x: Array, rank: int, var: Optional[Array], chan_scale: Optional[Array]
+):
+    """Shared lane-packed front end for the ``*_mip`` dual builders.
+
+    Returns ``(sin_p, cos_p, s, fr, p, d)`` all in the packed (t, s, i)
+    layout (see ops/pe.py packed section) — or None when packing is
+    disabled/not applicable, signalling the caller to take the unpacked
+    route. ``s`` is chan_scale * exp-mip weights (None if neither given);
+    ``fr`` the packed frequency repeat.
+    """
+    from neddf_tpu.ops.pe import _PE_PACKED, _pack_rows
+
+    n, d = x.shape
+    p = max(1, 128 // (rank * d))
+    if not _PE_PACKED[0] or p == 1 or n < p:
+        return None
+    freq = pe_frequencies(rank, dtype=x.dtype)
+    fr = jnp.repeat(freq, p * d)[None, :]
+    ph = fr * jnp.tile(_pack_rows(x, p), (1, rank))
+    s: Optional[Array] = None
+    if chan_scale is not None:
+        s = jnp.tile(
+            chan_scale.reshape(rank, 1, d), (1, p, 1)
+        ).reshape(1, rank * p * d)
+    if var is not None:
+        fsq = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
+        w = jnp.exp(-0.5 * fsq * jnp.tile(_pack_rows(var, p), (1, rank)))
+        s = w if s is None else s * w
+    return jnp.sin(ph), jnp.cos(ph), s, fr, p, d
+
+
+def _mip_scale(
+    rank: int, var: Optional[Array], chan_scale: Optional[Array]
+) -> Optional[Array]:
+    """Unpacked-route scale: chan_scale * pe_weights(var, rank)."""
+    from neddf_tpu.ops.pe import pe_weights
+
+    s = chan_scale
+    if var is not None:
+        w = pe_weights(var, rank)
+        s = w if s is None else s * w
+    return s
+
+
+def pe_dual_planes_mip(
+    x: Array,
+    rank: int,
+    var: Optional[Array] = None,
+    chan_scale: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """``pe_dual_planes(x, rank, chan_scale * pe_weights(var, rank))``,
+    bitwise, with the [M, R*3] sin/cos/exp/multiply chain lane-packed
+    (ops/pe.py packed section: ~23% -> ~94% VPU lane utilisation; the
+    2026-08-19 flagship trace shows these chains as ~0.9 ms/step of
+    multiply_convert glue)."""
+    pieces = _packed_pe_pieces(x, rank, var, chan_scale)
+    if pieces is None:
+        return pe_dual_planes(x, rank, _mip_scale(rank, var, chan_scale))
+    from neddf_tpu.ops.pe import _unpack_rows
+
+    sin_p, cos_p, s, fr, p, d = pieces
+    n = x.shape[0]
+    if s is None:
+        s = jnp.ones((1, rank * p * d), dtype=x.dtype)
+    v = jnp.concatenate(
+        [
+            _unpack_rows(s * sin_p, rank, p, d, n),
+            _unpack_rows(s * cos_p, rank, p, d, n),
+        ],
+        axis=-1,
+    )
+    g_full = jnp.concatenate(
+        [
+            _unpack_rows(s * fr * cos_p, rank, p, d, n),
+            _unpack_rows(-s * fr * sin_p, rank, p, d, n),
+        ],
+        axis=-1,
+    )
+    mask = jnp.tile(jnp.eye(d, dtype=x.dtype), (1, rank))  # [3, R*3]
+    mask = jnp.concatenate([mask, mask], axis=-1)  # [3, 6R]
+    j = mask[:, None, :] * g_full[None, :, :]  # [3, M, 6R]
+    return v, j
+
+
+def pe_dual_directional_mip(
+    x: Array,
+    rank: int,
+    v: Array,
+    var: Optional[Array] = None,
+    chan_scale: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """``pe_dual_directional(x, rank, v, chan_scale * pe_weights(var,
+    rank))``, bitwise, lane-packed like :func:`pe_dual_planes_mip`."""
+    pieces = _packed_pe_pieces(x, rank, var, chan_scale)
+    if pieces is None:
+        return pe_dual_directional(
+            x, rank, v, _mip_scale(rank, var, chan_scale)
+        )
+    from neddf_tpu.ops.pe import _pack_rows, _unpack_rows
+
+    sin_p, cos_p, s, fr, p, d = pieces
+    n = x.shape[0]
+    if s is None:
+        s = jnp.ones((1, rank * p * d), dtype=x.dtype)
+    val = jnp.concatenate(
+        [
+            _unpack_rows(s * sin_p, rank, p, d, n),
+            _unpack_rows(s * cos_p, rank, p, d, n),
+        ],
+        axis=-1,
+    )
+    v_rep = jnp.tile(_pack_rows(v.astype(x.dtype), p), (1, rank))
+    tan = jnp.concatenate(
+        [
+            _unpack_rows(s * fr * cos_p * v_rep, rank, p, d, n),
+            _unpack_rows(-s * fr * sin_p * v_rep, rank, p, d, n),
+        ],
+        axis=-1,
+    )
+    return val, tan
+
+
 def pe_dual_directional(
     x: Array, rank: int, v: Array, scale: Optional[Array] = None
 ) -> Tuple[Array, Array]:

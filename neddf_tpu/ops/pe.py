@@ -65,6 +65,17 @@ def pe_weights(diag_variance: Array, rank: int) -> Array:
         [..., R*3] weights exp(-0.5 * freq_t^2 * var_i) in (t, i) layout.
     """
     d = diag_variance.shape[-1]
+    if _PE_PACKED[0] and diag_variance.ndim == 2:
+        # lane-packed exp (see the "packed" section below): bitwise-equal
+        # values at ~full VPU lane utilisation + one relayout copy
+        n = diag_variance.shape[0]
+        p = max(1, 128 // (rank * d))
+        if p > 1 and n >= p:
+            fsq = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
+            w = jnp.exp(
+                -0.5 * fsq * jnp.tile(_pack_rows(diag_variance, p), (1, rank))
+            )
+            return _unpack_rows(w, rank, p, d, n)
     # (t, i) channel layout built by TILE-multiply, not an [..., R, 3]
     # intermediate + reshape: the rank-3 reshape pattern lowers worse on
     # TPU; the tile is a broadcast-gather XLA fuses into the consumer.
@@ -98,3 +109,105 @@ def positional_encoding(
     else:
         p_sin, p_cos = jnp.sin(p), jnp.cos(p)
     return jnp.concatenate([p_sin, p_cos], axis=-1)
+
+
+# ------------------------------------------------------------------ packed
+# Lane-packed PE: the straightforward [N, R*3] phase/exp/sin/cos chain
+# occupies only R*3 of a TPU vreg's 128 lanes (23% at rank 10) — the
+# profiler shows it as ~0.9 ms of multiply_convert/sine_convert glue per
+# NeRF train step (17% of device time). Packing P = 128 // (R*3)
+# consecutive samples into one row runs the same elementwise ops at
+# 94-98% lane utilisation; one cheap relayout copy restores per-sample
+# rows for the MLP. Element VALUES are bitwise identical (same products,
+# same sin calls, same multiply order) — pinned by tests/ops/test_pe.py.
+
+#: trace-time toggle for A/Bs (same semantics as kernels' flags: build
+#: fresh jitted callables inside each scope)
+_PE_PACKED = [True]
+
+
+class pe_packed:
+    """Context manager toggling lane-packed PE (for A/B measurements)."""
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self) -> None:
+        self.prev = _PE_PACKED[0]
+        _PE_PACKED[0] = self.on
+
+    def __exit__(self, *exc) -> None:
+        _PE_PACKED[0] = self.prev
+
+
+def _pack_rows(x: Array, p: int) -> Array:
+    """[N, d] -> [ceil(N/p), p*d] grouping p consecutive samples per row."""
+    n, d = x.shape
+    n_pad = (-n) % p
+    if n_pad:
+        x = jnp.concatenate([x, jnp.zeros((n_pad, d), x.dtype)], axis=0)
+    return x.reshape(-1, p * d)
+
+
+def _unpack_rows(y: Array, rank: int, p: int, d: int, n: int) -> Array:
+    """(t,s,i)-layout [M, rank*p*d] -> per-sample [n, rank*d] (t,i)."""
+    m = y.shape[0]
+    y = y.reshape(m, rank, p, d).transpose(0, 2, 1, 3).reshape(m * p, rank * d)
+    return y[:n]
+
+
+def positional_encoding_mip(
+    x: Array,
+    rank: int,
+    var: Optional[Array] = None,
+    chan_scale: Optional[Array] = None,
+) -> Array:
+    """PE with optional mip attenuation, computed lane-packed.
+
+    Equals ``positional_encoding(x, rank, chan_scale * pe_weights(var,
+    rank))`` bitwise, but runs the whole [N, R*d] elementwise chain
+    (phase multiply, exp, sin, cos, scales) with P samples packed per
+    row so the VPU lanes are ~full instead of ~23% occupied.
+
+    Args:
+        x: [N, d] positions or directions.
+        rank: PE rank R.
+        var: optional [N, d] covariance diagonal — applies the
+            integrated-PE attenuation exp(-0.5 freq^2 var) per sample.
+        chan_scale: optional [1, R*d] per-channel scale in (t, i)
+            layout (lowpass window, grad-equaliser products).
+    """
+    n, d = x.shape
+    p = max(1, 128 // (rank * d))
+    if not _PE_PACKED[0] or p == 1 or n < p:
+        scale: Optional[Array] = chan_scale
+        if var is not None:
+            w = pe_weights(var, rank)
+            scale = w if scale is None else scale * w
+        return positional_encoding(x, rank, scale)
+
+    freq = pe_frequencies(rank, dtype=x.dtype)
+    freq_rep = jnp.repeat(freq, p * d)[None, :]
+    xp = _pack_rows(x, p)
+    ph = freq_rep * jnp.tile(xp, (1, rank))
+
+    s: Optional[Array] = None
+    if chan_scale is not None:
+        # [1, R*d] (t,i) -> [1, R*p*d] (t,s,i): repeat each band's d
+        # channels across the p packed samples
+        s = jnp.tile(
+            chan_scale.reshape(rank, 1, d), (1, p, 1)
+        ).reshape(1, rank * p * d)
+    if var is not None:
+        fsq_rep = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
+        w = jnp.exp(-0.5 * fsq_rep * jnp.tile(_pack_rows(var, p), (1, rank)))
+        s = w if s is None else s * w
+
+    if s is not None:
+        p_sin, p_cos = s * jnp.sin(ph), s * jnp.cos(ph)
+    else:
+        p_sin, p_cos = jnp.sin(ph), jnp.cos(ph)
+    return jnp.concatenate(
+        [_unpack_rows(p_sin, rank, p, d, n), _unpack_rows(p_cos, rank, p, d, n)],
+        axis=-1,
+    )

@@ -91,3 +91,46 @@ def test_sampling_cones_moments():
     assert (np.asarray(s.diag_variance) >= 0).all()
     # axial variance along dir (z), radial in x/y
     assert s.diag_variance[0, 0, 2] > s.diag_variance[0, 0, 0]
+
+
+def test_umeyama_alignment_recovers_similarity(rng):
+    from neddf_tpu.geometry.se3 import umeyama_alignment
+
+    src = rng.normal(size=(8, 3))
+    r_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(r_true) < 0:
+        r_true[:, 2] *= -1.0
+    s_true, t_true = 1.7, np.array([0.3, -1.2, 0.5])
+    dst = s_true * src @ r_true.T + t_true
+    r_g, t_g, s_g = umeyama_alignment(src, dst)
+    np.testing.assert_allclose(r_g, r_true, atol=1e-10)
+    np.testing.assert_allclose(t_g, t_true, atol=1e-10)
+    assert abs(s_g - s_true) < 1e-10
+
+
+def test_aligned_pose_error_removes_global_gauge(rng):
+    """A camera set moved rigidly as a whole (the joint-optimization
+    gauge mode) has ~zero ALIGNED error while the raw error is large;
+    per-camera noise survives alignment."""
+    from neddf_tpu.geometry.se3 import aligned_pose_error, camera_pose, rodrigues
+
+    n = 6
+    clean = rng.normal(scale=0.5, size=(n, 6)).astype(np.float32)
+    # apply one global rotation+translation to every camera pose:
+    # R_i' = Rg R_i, T_i' = Rg T_i + tg  ->  recompose as rotvec+trans
+    from scipy.spatial.transform import Rotation
+
+    rg = Rotation.from_rotvec([0.2, -0.1, 0.3]).as_matrix().astype(np.float32)
+    tg = np.array([0.4, 0.1, -0.2], np.float32)
+    moved = np.zeros_like(clean)
+    for i in range(n):
+        r_i, t_i = camera_pose(clean[i], np.zeros(6, np.float32))
+        moved[i, :3] = Rotation.from_matrix(rg @ np.asarray(r_i)).as_rotvec()
+        moved[i, 3:] = rg @ np.asarray(t_i) + tg
+    zeros = np.zeros_like(clean)
+    err_gauge = aligned_pose_error(moved, zeros, clean)
+    assert err_gauge < 1e-5
+
+    noisy = moved + rng.normal(scale=0.05, size=moved.shape).astype(np.float32)
+    err_noise = aligned_pose_error(noisy, zeros, clean)
+    assert err_noise > 0.01

@@ -150,3 +150,55 @@ def test_reverse_over_forward(rng):
     g1 = jax.grad(loss_dual)(jnp.asarray(x))
     g2 = jax.grad(loss_jacfwd)(jnp.asarray(x))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [512, 101, 3])
+def test_pe_dual_planes_mip_bitwise(rng, n):
+    """Lane-packed dual-plane PE == unpacked chain bitwise (ops/pe.py
+    packed section; same products / sin calls / multiply order)."""
+    from neddf_tpu.ops.dual import pe_dual_planes, pe_dual_planes_mip
+    from neddf_tpu.ops.pe import pe_lowpass_scale, pe_packed, pe_weights
+
+    rank = 10
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    var = np.abs(rng.standard_normal((n, 3))).astype(np.float32) * 0.01
+    crow = np.asarray(pe_lowpass_scale(rank, 6.4)) * 0.7
+    with pe_packed(False):
+        v_ref, j_ref = pe_dual_planes(
+            jnp.asarray(x), rank,
+            jnp.asarray(crow) * pe_weights(jnp.asarray(var), rank),
+        )
+    with pe_packed(True):
+        v, j = pe_dual_planes_mip(
+            jnp.asarray(x), rank, var=jnp.asarray(var),
+            chan_scale=jnp.asarray(crow),
+        )
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(j), np.asarray(j_ref))
+
+
+@pytest.mark.parametrize("n", [512, 37])
+def test_pe_dual_directional_mip_bitwise(rng, n):
+    from neddf_tpu.ops.dual import (
+        pe_dual_directional,
+        pe_dual_directional_mip,
+    )
+    from neddf_tpu.ops.pe import pe_lowpass_scale, pe_packed, pe_weights
+
+    rank = 10
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    v_dir = rng.standard_normal((n, 3)).astype(np.float32)
+    var = np.abs(rng.standard_normal((n, 3))).astype(np.float32) * 0.01
+    lowpass = np.asarray(pe_lowpass_scale(rank, 7.1))
+    with pe_packed(False):
+        val_ref, tan_ref = pe_dual_directional(
+            jnp.asarray(x), rank, jnp.asarray(v_dir),
+            jnp.asarray(lowpass) * pe_weights(jnp.asarray(var), rank),
+        )
+    with pe_packed(True):
+        val, tan = pe_dual_directional_mip(
+            jnp.asarray(x), rank, jnp.asarray(v_dir),
+            var=jnp.asarray(var), chan_scale=jnp.asarray(lowpass),
+        )
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(val_ref))
+    np.testing.assert_array_equal(np.asarray(tan), np.asarray(tan_ref))

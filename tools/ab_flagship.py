@@ -172,6 +172,25 @@ def _context(knob: str, value: str):
             "compute_dtype": "bfloat16",
         }
         return M.mlp_stash(value == "on")
+    if knob == "pe_packed":
+        # lane-packed PE chain (ops/pe.py::positional_encoding_mip) on
+        # the NeDDF flagship config
+        import neddf_tpu.ops.pe as P
+
+        return P.pe_packed(value == "on")
+    if knob == "nerf_pe_packed":
+        # same toggle on the NeRF family (its [N,30] PE glue measured
+        # ~0.9 ms = 17% of the 5.4 ms device step in the 2026-08-19
+        # trace: multiply_convert + sine_convert fusions)
+        import neddf_tpu.ops.pe as P
+
+        _NET_CFG[0] = {
+            "_target_": "neddf_tpu.fields.NeRF",
+            "embed_pos_rank": 10, "embed_dir_rank": 4,
+            "layer_count": 8, "layer_width": 256,
+            "compute_dtype": "bfloat16",
+        }
+        return P.pe_packed(value == "on")
     if knob == "sdf_tile_bwd":
         # sweep-kernel backward tile (module constant, read at trace
         # time like the other toggles); runs the NeuS sweep config
