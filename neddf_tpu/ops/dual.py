@@ -138,29 +138,33 @@ def _packed_pe_pieces(
 ):
     """Shared lane-packed front end for the ``*_mip`` dual builders.
 
-    Returns ``(sin_p, cos_p, s, fr, p, d)`` all in the packed (t, s, i)
-    layout (see ops/pe.py packed section) — or None when packing is
-    disabled/not applicable, signalling the caller to take the unpacked
-    route. ``s`` is chan_scale * exp-mip weights (None if neither given);
-    ``fr`` the packed frequency repeat.
+    Returns ``(sin_p, cos_p, s, fr, p, d)`` all in the packed
+    SAMPLE-MAJOR (s, t, i) layout (see ops/pe.py packed section — the
+    unpack back to per-sample rows is then a pure reshape, never a
+    transpose) — or None when packing is disabled/not applicable,
+    signalling the caller to take the unpacked route. ``s`` is
+    chan_scale * exp-mip weights (None if neither given); ``fr`` the
+    packed frequency pattern.
     """
-    from neddf_tpu.ops.pe import _PE_PACKED, _pack_rows
+    from neddf_tpu.ops.pe import (
+        _PE_PACKED,
+        _freq_pattern_sti,
+        _pack_rows,
+        _rep_bands,
+    )
 
     n, d = x.shape
     p = max(1, 128 // (rank * d))
     if not _PE_PACKED[0] or p == 1 or n < p:
         return None
-    freq = pe_frequencies(rank, dtype=x.dtype)
-    fr = jnp.repeat(freq, p * d)[None, :]
-    ph = fr * jnp.tile(_pack_rows(x, p), (1, rank))
+    fr = _freq_pattern_sti(rank, p, d).astype(x.dtype)
+    ph = fr * _rep_bands(_pack_rows(x, p), rank, p, d)
     s: Optional[Array] = None
     if chan_scale is not None:
-        s = jnp.tile(
-            chan_scale.reshape(rank, 1, d), (1, p, 1)
-        ).reshape(1, rank * p * d)
+        s = jnp.tile(chan_scale.reshape(1, rank * d), (1, p))
     if var is not None:
-        fsq = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
-        w = jnp.exp(-0.5 * fsq * jnp.tile(_pack_rows(var, p), (1, rank)))
+        fsq = _freq_pattern_sti(rank, p, d, square=True)
+        w = jnp.exp(-0.5 * fsq * _rep_bands(_pack_rows(var, p), rank, p, d))
         s = w if s is None else s * w
     return jnp.sin(ph), jnp.cos(ph), s, fr, p, d
 
@@ -185,10 +189,9 @@ def pe_dual_planes_mip(
     chan_scale: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """``pe_dual_planes(x, rank, chan_scale * pe_weights(var, rank))``,
-    bitwise, with the [M, R*3] sin/cos/exp/multiply chain lane-packed
-    (ops/pe.py packed section: ~23% -> ~94% VPU lane utilisation; the
-    2026-08-19 flagship trace shows these chains as ~0.9 ms/step of
-    multiply_convert glue)."""
+    bitwise. Under the default-off ``pe_packed`` toggle the [M, R*3]
+    sin/cos/exp/multiply chain runs lane-packed (measured negative on
+    v5e — see ops/pe.py's packed section for the numbers + mechanism)."""
     pieces = _packed_pe_pieces(x, rank, var, chan_scale)
     if pieces is None:
         return pe_dual_planes(x, rank, _mip_scale(rank, var, chan_scale))
@@ -232,7 +235,7 @@ def pe_dual_directional_mip(
         return pe_dual_directional(
             x, rank, v, _mip_scale(rank, var, chan_scale)
         )
-    from neddf_tpu.ops.pe import _pack_rows, _unpack_rows
+    from neddf_tpu.ops.pe import _pack_rows, _rep_bands, _unpack_rows
 
     sin_p, cos_p, s, fr, p, d = pieces
     n = x.shape[0]
@@ -245,7 +248,7 @@ def pe_dual_directional_mip(
         ],
         axis=-1,
     )
-    v_rep = jnp.tile(_pack_rows(v.astype(x.dtype), p), (1, rank))
+    v_rep = _rep_bands(_pack_rows(v.astype(x.dtype), p), rank, p, d)
     tan = jnp.concatenate(
         [
             _unpack_rows(s * fr * cos_p * v_rep, rank, p, d, n),

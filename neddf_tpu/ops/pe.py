@@ -67,15 +67,13 @@ def pe_weights(diag_variance: Array, rank: int) -> Array:
     d = diag_variance.shape[-1]
     if _PE_PACKED[0] and diag_variance.ndim == 2:
         # lane-packed exp (see the "packed" section below): bitwise-equal
-        # values at ~full VPU lane utilisation + one relayout copy
+        # values at ~full VPU lane utilisation, reshape-only relayout
         n = diag_variance.shape[0]
         p = max(1, 128 // (rank * d))
         if p > 1 and n >= p:
-            fsq = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
-            w = jnp.exp(
-                -0.5 * fsq * jnp.tile(_pack_rows(diag_variance, p), (1, rank))
-            )
-            return _unpack_rows(w, rank, p, d, n)
+            fsq = _freq_pattern_sti(rank, p, d, square=True)
+            vp = _rep_bands(_pack_rows(diag_variance, p), rank, p, d)
+            return _unpack_rows(jnp.exp(-0.5 * fsq * vp), rank, p, d, n)
     # (t, i) channel layout built by TILE-multiply, not an [..., R, 3]
     # intermediate + reshape: the rank-3 reshape pattern lowers worse on
     # TPU; the tile is a broadcast-gather XLA fuses into the consumer.
@@ -112,18 +110,32 @@ def positional_encoding(
 
 
 # ------------------------------------------------------------------ packed
-# Lane-packed PE: the straightforward [N, R*3] phase/exp/sin/cos chain
-# occupies only R*3 of a TPU vreg's 128 lanes (23% at rank 10) — the
-# profiler shows it as ~0.9 ms of multiply_convert/sine_convert glue per
-# NeRF train step (17% of device time). Packing P = 128 // (R*3)
-# consecutive samples into one row runs the same elementwise ops at
-# 94-98% lane utilisation; one cheap relayout copy restores per-sample
-# rows for the MLP. Element VALUES are bitwise identical (same products,
-# same sin calls, same multiply order) — pinned by tests/ops/test_pe.py.
+# Lane-packed PE — MEASURED NEGATIVE, default OFF. The [N, R*3]
+# phase/exp/sin/cos chain occupies only R*3 of a TPU vreg's 128 lanes
+# (23% at rank 10) and profiles as ~0.9 ms of multiply_convert/
+# sine_convert glue per NeRF train step. Packing P = 128 // (R*3)
+# samples per row runs the same elementwise ops at ~94-98% lane
+# utilisation — but LOSES on v5e in BOTH possible row layouts
+# (same-session A/Bs 2026-08-19, tools/ab_flagship.py, identical loss):
+#
+#   band-major (t,s,i), transpose unpack:  NeDDF 26.1 vs 19.5 ms/step,
+#                                          NeRF   9.65 vs 6.66 ms/step
+#   sample-major (s,t,i), reshape unpack:  NeDDF 27.8 vs 19.4 ms/step
+#
+# Mechanism: on TPU ANY reshape that changes the minor (lane) dimension
+# is a physical (8,128)-tile relayout — [M, P*R*d] and [N, R*d] have
+# different padded physical bytes, so even the "pure view" unpack costs
+# a full copy of the tensor. The MLP kernels fix the narrow per-sample
+# [N, R*d] interface, so a packed chain always pays pack+unpack retiles
+# that exceed the ~0.9 ms lane saving. Together with round 3's
+# "in-kernel PE expansion loses 1.1-2 ms" this pins the PE glue as
+# layout-bound, not VPU-lane-bound: the unpacked XLA fusion is the
+# right design. Kept behind the toggle (bitwise-equal, tested) for
+# re-measurement on future hardware/toolchains.
 
 #: trace-time toggle for A/Bs (same semantics as kernels' flags: build
 #: fresh jitted callables inside each scope)
-_PE_PACKED = [True]
+_PE_PACKED = [False]
 
 
 class pe_packed:
@@ -150,10 +162,31 @@ def _pack_rows(x: Array, p: int) -> Array:
 
 
 def _unpack_rows(y: Array, rank: int, p: int, d: int, n: int) -> Array:
-    """(t,s,i)-layout [M, rank*p*d] -> per-sample [n, rank*d] (t,i)."""
+    """(s,t,i)-layout [M, p*rank*d] -> per-sample [n, rank*d] (t,i).
+
+    A pure reshape: sample-major packing keeps each sample's rank*d
+    channels contiguous, so this is a row-major VIEW, not a relayout.
+    """
     m = y.shape[0]
-    y = y.reshape(m, rank, p, d).transpose(0, 2, 1, 3).reshape(m * p, rank * d)
-    return y[:n]
+    return y.reshape(m * p, rank * d)[:n]
+
+
+def _rep_bands(xp: Array, rank: int, p: int, d: int) -> Array:
+    """[M, p*d] (s,i) -> [M, p*rank*d] (s,t,i): repeat each packed
+    sample's d input channels across the rank frequency bands (a
+    broadcast XLA fuses into the consuming multiply)."""
+    m = xp.shape[0]
+    return jnp.tile(
+        xp.reshape(m, p, 1, d), (1, 1, rank, 1)
+    ).reshape(m, p * rank * d)
+
+
+def _freq_pattern_sti(rank: int, p: int, d: int, square: bool = False) -> Array:
+    """[1, p*rank*d] (s,t,i) frequency pattern: freq_t (or freq_t^2)."""
+    f = pe_frequencies(rank)
+    if square:
+        f = jnp.square(f)
+    return jnp.tile(jnp.repeat(f, d), p)[None, :]
 
 
 def positional_encoding_mip(
@@ -162,12 +195,12 @@ def positional_encoding_mip(
     var: Optional[Array] = None,
     chan_scale: Optional[Array] = None,
 ) -> Array:
-    """PE with optional mip attenuation, computed lane-packed.
+    """PE with optional mip attenuation (single fused entry point).
 
     Equals ``positional_encoding(x, rank, chan_scale * pe_weights(var,
-    rank))`` bitwise, but runs the whole [N, R*d] elementwise chain
-    (phase multiply, exp, sin, cos, scales) with P samples packed per
-    row so the VPU lanes are ~full instead of ~23% occupied.
+    rank))`` bitwise. Under the (default-off, see the section comment
+    above) ``pe_packed`` toggle the [N, R*d] elementwise chain runs
+    with P samples packed per row.
 
     Args:
         x: [N, d] positions or directions.
@@ -186,21 +219,17 @@ def positional_encoding_mip(
             scale = w if scale is None else scale * w
         return positional_encoding(x, rank, scale)
 
-    freq = pe_frequencies(rank, dtype=x.dtype)
-    freq_rep = jnp.repeat(freq, p * d)[None, :]
-    xp = _pack_rows(x, p)
-    ph = freq_rep * jnp.tile(xp, (1, rank))
+    freq_rep = _freq_pattern_sti(rank, p, d).astype(x.dtype)
+    ph = freq_rep * _rep_bands(_pack_rows(x, p), rank, p, d)
 
     s: Optional[Array] = None
     if chan_scale is not None:
-        # [1, R*d] (t,i) -> [1, R*p*d] (t,s,i): repeat each band's d
-        # channels across the p packed samples
-        s = jnp.tile(
-            chan_scale.reshape(rank, 1, d), (1, p, 1)
-        ).reshape(1, rank * p * d)
+        # [1, R*d] (t,i) -> [1, p*R*d] (s,t,i): the whole per-channel
+        # vector repeats once per packed sample
+        s = jnp.tile(chan_scale.reshape(1, rank * d), (1, p))
     if var is not None:
-        fsq_rep = jnp.repeat(jnp.square(pe_frequencies(rank)), p * d)[None, :]
-        w = jnp.exp(-0.5 * fsq_rep * jnp.tile(_pack_rows(var, p), (1, rank)))
+        fsq_rep = _freq_pattern_sti(rank, p, d, square=True)
+        w = jnp.exp(-0.5 * fsq_rep * _rep_bands(_pack_rows(var, p), rank, p, d))
         s = w if s is None else s * w
 
     if s is not None:
