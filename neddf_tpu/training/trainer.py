@@ -35,6 +35,7 @@ from neddf_tpu.training.checkpoint import (
 )
 from neddf_tpu.training.logger import NeRFTBLogger
 from neddf_tpu.training.metrics import peak_signal_noise_ratio, structural_similarity
+from neddf_tpu.training.optim import row_sparse_adam
 from neddf_tpu.training.step import construct_targets, make_local_grads
 
 Array = jax.Array
@@ -411,7 +412,11 @@ class NeRFTrainer(BaseTrainer):
         self.tx = optax.chain(*parts)
         with jax.default_device(self.device):
             self.opt_state = self.tx.init(self.params)
-        self.tx_cam = optax.adam(self.camera_optimizer_lr)
+        # per-camera deltas get ROW-SPARSE Adam: each step's gradient
+        # touches one camera row, and plain Adam keeps pushing absent
+        # rows with stale momentum (~1/(1-b1) x lr per real gradient) —
+        # training/optim.py for the derivation
+        self.tx_cam = row_sparse_adam(self.camera_optimizer_lr)
         with jax.default_device(self.device):
             self.opt_state_cam = self.tx_cam.init(self.camera_deltas)
 
