@@ -33,6 +33,19 @@ lower-occupancy scenes with wider sample axes; on TPU the dense batched
 formulation is already compute-cheap. The module stays as an opt-in
 (``render_image(..., occupancy=grid)``) with exactness guaranteed by
 tests when budget == S.
+
+WHOLE-RAY culling (``coarsen_grid``/``ray_active`` +
+``render_image(..., ray_cull=grid)``) avoids the per-sample gather by
+probing a coarsened+dilated grid once per ray and dropping background
+rays entirely. MEASURED on v5e (2026-08-20, pretrained/machine_neddf
+500x500 test cams 0/12, tools/raycull_ab.py):
+dense 2.906/3.006 s per image vs culled 2.699/2.679 s — a 1.08-1.12x
+per-render win at IDENTICAL 30.16/29.84 dB PSNR and SSIM (culled
+pixels' idealized empty composite differs from dense by at most 3/255);
+one-time grid build 27.4 s (dominated by the probe compile), so
+break-even is ~100 renders per checkpoint: worth it for interactive /
+video evals, not for a one-shot 25-image test split. Kept opt-in
+(``run_eval --ray-cull``).
 """
 from __future__ import annotations
 
