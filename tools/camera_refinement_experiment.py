@@ -69,6 +69,27 @@ def pose_error(initials: np.ndarray, deltas: np.ndarray,
     return err / initials.shape[0]
 
 
+def reproj_error(calib, initials: np.ndarray, deltas: np.ndarray,
+                 true_initials: np.ndarray) -> float:
+    """Mean pixel displacement of object-region points vs the clean
+    cameras — the photometric pose metric (R/t distance is blind to the
+    rotation/translation gauge valley; see
+    tests/training/test_camera_refinement.py::reproj_error)."""
+    from neddf_tpu.geometry.camera import project
+    from neddf_tpu.geometry.se3 import camera_pose
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.8, 0.8, (256, 3)).astype(np.float32)
+    err = 0.0
+    for i in range(initials.shape[0]):
+        r, t = camera_pose(initials[i], deltas[i])
+        r0, t0 = camera_pose(true_initials[i], np.zeros(6, np.float32))
+        uv = np.asarray(project(calib, r, t, pts))
+        uv0 = np.asarray(project(calib, r0, t0, pts))
+        err += float(np.linalg.norm(uv - uv0, axis=1).mean())
+    return err / initials.shape[0]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["clean", "perturbed", "optimized"],
@@ -138,10 +159,28 @@ def main() -> None:
 
     result = {"mode": args.mode, "epochs": args.epochs}
     if args.mode != "clean":
+        from neddf_tpu.geometry.se3 import aligned_pose_error
+
         deltas = np.asarray(jax.device_get(trainer.camera_deltas))
+        zeros = np.zeros_like(deltas)
         result["pose_err_injected"] = err0
         result["pose_err_after_deltas"] = pose_error(
             clean + noise, deltas, clean
+        )
+        # joint field+pose optimization can converge in a globally
+        # transformed world frame (BARF-style gauge freedom) — report
+        # the Umeyama-aligned error on both sides as the fair metric
+        result["pose_err_injected_aligned"] = aligned_pose_error(
+            clean + noise, zeros, clean
+        )
+        result["pose_err_after_deltas_aligned"] = aligned_pose_error(
+            clean + noise, deltas, clean
+        )
+        result["reproj_px_injected"] = reproj_error(
+            trainer.calib, clean + noise, zeros, clean
+        )
+        result["reproj_px_after_deltas"] = reproj_error(
+            trainer.calib, clean + noise, deltas, clean
         )
         result["delta_abs_max"] = float(np.abs(deltas).max())
 
