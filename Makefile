@@ -2,7 +2,7 @@
 # pytest with coverage and pysen lint — /root/reference/Makefile:1-11).
 PYTHON ?= python
 
-.PHONY: test test-fast lint bench dryrun
+.PHONY: test test-fast lint bench dryrun ship
 
 test:
 	$(PYTHON) -m pytest tests --durations 5
@@ -20,3 +20,9 @@ bench:
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 	$(PYTHON) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# The mechanical ship gate: run AFTER the last edit, before any
+# end-of-round snapshot. Two rounds shipped a red `make lint` because
+# the gate was a checklist, not a command (round-4 verdict weak #1).
+ship: lint test-fast dryrun
+	@echo "SHIP GATE GREEN: lint + test-fast + dryrun all passed"

@@ -12,10 +12,16 @@ that is stale by up to n_cam steps. Diagnosed 2026-08-20 as a driver
 of the camera-refinement divergence (pose error grew under
 optimization).
 
-``row_sparse_adam`` gives torch.optim.SparseAdam semantics instead:
-rows whose gradient is exactly zero keep their moments and receive NO
-update; bias correction runs on a per-row visit count. For a
-[n_cam, 6] leaf the "row" is every axis-0 slice.
+``row_sparse_adam`` gives SparseAdam-STYLE masked updates instead (not
+drop-in torch parity: torch.optim.SparseAdam bias-corrects with the
+global step count; this bias-corrects with per-row visit counts, which
+is the statistically honest choice for rows visited at different
+rates): rows whose gradient is exactly zero keep their moments and
+receive NO update. For a [n_cam, 6] leaf the "row" is every axis-0
+slice. Rows containing non-finite gradient entries are treated as
+ACTIVE so the NaN/Inf flows into the moments and surfaces in the
+params — fail-loud, matching the repo's debug_nans posture — rather
+than being silently skipped as "unvisited".
 """
 from __future__ import annotations
 
@@ -59,7 +65,11 @@ def row_sparse_adam(
 
         def row_active(g: Array) -> Array:
             flat = jnp.abs(g).reshape(g.shape[0], -1)
-            return flat.sum(axis=1) > 0  # [rows]
+            s = flat.sum(axis=1)  # [rows]
+            # NaN > 0 is False, which would silently drop a divergent
+            # row; route non-finite rows through the update so the
+            # corruption surfaces in the params (advisor round-4)
+            return (s > 0) | ~jnp.isfinite(s)
 
         def bcast(flag: Array, like: Array) -> Array:
             return flag.reshape((-1,) + (1,) * (like.ndim - 1))

@@ -685,14 +685,26 @@ class NeRFTrainer(BaseTrainer):
         try:
             state = load_pytree(path, template)
         except (KeyError, ValueError):
-            # legacy checkpoints predate opt_state_cam/key; restore what
-            # they carry and keep fresh values for the rest
-            legacy = {
-                k: template[k]
-                for k in ("params", "opt_state", "iteration", "camera_deltas")
-            }
+            # legacy checkpoints predate opt_state_cam (or carry a
+            # structurally different one, e.g. optax.adam state from
+            # before row_sparse_adam); restore every field that IS
+            # structurally compatible — in particular the RNG key, so a
+            # mid-run watchdog resume across the optimizer upgrade keeps
+            # RNG continuity — and log exactly what was reset
             state = dict(template)
-            state.update(load_pytree(path, legacy))
+            restored = []
+            for k in ("params", "opt_state", "iteration",
+                      "camera_deltas", "key"):
+                try:
+                    state.update(load_pytree(path, {k: template[k]}))
+                    restored.append(k)
+                except (KeyError, ValueError):
+                    pass
+            reset = sorted(set(template) - set(restored))
+            print(
+                f"[checkpoint] legacy restore of {path.name}: "
+                f"restored {restored}; reset to fresh: {reset}"
+            )
         self._apply_checkpoint_state(state)
 
     def _apply_checkpoint_state(self, state) -> None:

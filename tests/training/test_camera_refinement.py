@@ -10,8 +10,9 @@ deltas against the frozen field — with the field's own clean-pose
 renders as GT, so the true pose is the global photometric minimum by
 construction — and assert the deltas cancel most of the injected
 REPROJECTION error (the photometric pose metric; see reproj_error on
-why R/t Frobenius distance is gauge-blind here). The reference structures Camera.params as an
-nn.Parameter (camera.py:40) but never optimizes it — this is a
+why R/t Frobenius distance is gauge-blind here). The reference
+structures Camera.params as an nn.Parameter (camera.py:40) but never
+optimizes it — this is a
 neddf_tpu ➕ capability, so it must be proven, not just exercised. The
 full-scale v5e experiment lives in tools/camera_refinement_experiment.py
 with results in BASELINE.md.
@@ -81,8 +82,19 @@ def reproj_error(calib, initials, deltas, true_initials) -> float:
     for i in range(n):
         r, t = camera_pose(initials[i], deltas[i])
         r_true, t_true = camera_pose(true_initials[i], np.zeros(6, np.float32))
-        uv = np.asarray(project(calib, r, t, pts))
-        uv_true = np.asarray(project(calib, r_true, t_true, pts))
+        # keep only points with positive camera-frame depth under BOTH
+        # cameras (RUB: forward is -z) — a point near/behind the
+        # principal plane would make the pixel error explode (advisor
+        # round-4; moot for the bundled orbit rigs, which keep the whole
+        # cube well in front, but guards future fixtures)
+        d = -(np.asarray((pts - np.asarray(t)[None]) @ np.asarray(r))[:, 2])
+        d_true = -(
+            np.asarray((pts - np.asarray(t_true)[None]) @ np.asarray(r_true))[:, 2]
+        )
+        keep = (d > 0.1) & (d_true > 0.1)
+        assert keep.sum() >= 32, "camera rig leaves too few frontal points"
+        uv = np.asarray(project(calib, r, t, pts[keep]))
+        uv_true = np.asarray(project(calib, r_true, t_true, pts[keep]))
         err += float(np.linalg.norm(uv - uv_true, axis=1).mean())
     return err / n
 

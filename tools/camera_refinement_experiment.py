@@ -84,8 +84,13 @@ def reproj_error(calib, initials: np.ndarray, deltas: np.ndarray,
     for i in range(initials.shape[0]):
         r, t = camera_pose(initials[i], deltas[i])
         r0, t0 = camera_pose(true_initials[i], np.zeros(6, np.float32))
-        uv = np.asarray(project(calib, r, t, pts))
-        uv0 = np.asarray(project(calib, r0, t0, pts))
+        # positive camera-frame depth under both cameras only (RUB:
+        # forward is -z) — matches the test helper's guard
+        d = -(np.asarray((pts - np.asarray(t)[None]) @ np.asarray(r))[:, 2])
+        d0 = -(np.asarray((pts - np.asarray(t0)[None]) @ np.asarray(r0))[:, 2])
+        keep = (d > 0.1) & (d0 > 0.1)
+        uv = np.asarray(project(calib, r, t, pts[keep]))
+        uv0 = np.asarray(project(calib, r0, t0, pts[keep]))
         err += float(np.linalg.norm(uv - uv0, axis=1).mean())
     return err / initials.shape[0]
 
@@ -206,6 +211,9 @@ def main() -> None:
 
         psnrs[str(cam)] = float(peak_signal_noise_ratio(rgb, gt))
     result["test_psnr"] = psnrs
+    # durable record: round 4 lost the clean/perturbed RESULT lines
+    # because they only went to stdout — always persist into the run dir
+    (run_dir / "result.json").write_text(json.dumps(result, indent=2))
     print("RESULT " + json.dumps(result))
 
 
