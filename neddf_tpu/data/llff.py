@@ -49,10 +49,18 @@ class LLFFDataset(BaseDataset):
         factor: int = 4,
         hold_every: int = 8,
         target_depth: float = 4.0,
+        recenter: bool = False,
     ) -> None:
         self.factor = int(factor)
         self.hold_every = int(hold_every)
         self.target_depth = float(target_depth)
+        # recenter=True rigidly moves the world into the average-camera
+        # frame (mean position at the origin, mean view direction along
+        # -z) — REQUIRED for render.ndc=true, whose warp assumes a
+        # -z-facing capture frame (geometry/camera.py::ndc_rays). A
+        # rigid transform, so the non-NDC path's quality is unchanged;
+        # kept opt-in so pre-existing run dirs recompose bit-identically.
+        self.recenter = bool(recenter)
         self.near: float = 0.0
         self.far: float = 0.0
         super().__init__(dataset_dir, data_split, use_depth, use_mask)
@@ -95,6 +103,20 @@ class LLFFDataset(BaseDataset):
         u = -poses[:, :, 0]
         b = poses[:, :, 2]
         t = poses[:, :, 3]
+
+        if self.recenter:
+            # average-camera frame: orthonormal [right, up, back] from
+            # the mean back/up columns (right-handed RUB: r = u x b)
+            b_avg = b.mean(0) / np.linalg.norm(b.mean(0))
+            r_avg = np.cross(u.mean(0), b_avg)
+            r_avg = r_avg / np.linalg.norm(r_avg)
+            u_avg = np.cross(b_avg, r_avg)
+            rot_avg = np.stack([r_avg, u_avg, b_avg], axis=1)  # columns
+            center = t.mean(0)
+            r = r @ rot_avg
+            u = u @ rot_avg
+            b = b @ rot_avg
+            t = (t - center[None]) @ rot_avg
 
         # scene rescale: centre the depth window at target_depth
         mid = float(np.mean(bounds))
@@ -158,6 +180,8 @@ def generate_forward_facing_dataset(
 
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    for stale in (out_dir / "images").glob("img_*.png"):
+        stale.unlink()  # regeneration with fewer frames must not leak
     rng = np.random.default_rng(seed)
     focal = 1.2 * image_size
     prims, light = _machine_scene()

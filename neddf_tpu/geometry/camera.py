@@ -95,3 +95,40 @@ def create_rays(calib: PinholeCalib, r: Array, t: Array, uv: Array) -> Rays:
     ray_dir = dir_camera @ r.T
     ray_orig = jnp.broadcast_to(t[None, :], (batch_size, 3))
     return Rays(ray_dir=ray_dir, ray_orig=ray_orig, uv=uv)
+
+
+def ndc_rays(calib: PinholeCalib, near: "Array | float", rays: Rays) -> Rays:
+    """Warp world-space rays to NDC for forward-facing captures.
+
+    The standard NeRF NDC parameterization (NeRF paper appendix C; the
+    reference has no LLFF/NDC path at all): ray origins are first slid
+    to the z = -near plane, then origin/direction are mapped so that
+    pos(t') = o' + t' d' for t' in [0, 1) sweeps the ray from the near
+    plane to infinity with sampling uniform in DISPARITY — the right
+    density for unbounded forward-facing content.
+
+    Assumes the WORLD frame is the recentered capture frame (average
+    camera at the origin looking along -z, i.e. RUB "back" = +z) —
+    LLFFDataset(recenter=True) provides this. Screen scales come from
+    the intrinsics: the NDC x span [-1, 1] covers W = 2*cx pixels.
+    """
+    o, d = rays.ray_orig, rays.ray_dir
+    # slide origins onto the near plane (z = -near)
+    t_near = -(near + o[:, 2]) / d[:, 2]
+    o = o + t_near[:, None] * d
+    ax = -calib.fx / calib.cx  # == -f / (W/2)
+    ay = -calib.fy / calib.cy
+    o_z = o[:, 2]
+    o_ndc = jnp.stack(
+        [ax * o[:, 0] / o_z, ay * o[:, 1] / o_z, 1.0 + 2.0 * near / o_z],
+        axis=1,
+    )
+    d_ndc = jnp.stack(
+        [
+            ax * (d[:, 0] / d[:, 2] - o[:, 0] / o_z),
+            ay * (d[:, 1] / d[:, 2] - o[:, 1] / o_z),
+            -2.0 * near / o_z,
+        ],
+        axis=1,
+    )
+    return Rays(ray_dir=d_ndc, ray_orig=o_ndc, uv=rays.uv)

@@ -27,7 +27,7 @@ import numpy as np
 
 from neddf_tpu import config as config_lib
 from neddf_tpu.fields.base import BaseField
-from neddf_tpu.geometry.camera import PinholeCalib, create_rays
+from neddf_tpu.geometry.camera import PinholeCalib, create_rays, ndc_rays
 from neddf_tpu.geometry.rays import Sampling, get_sampling_cones, get_sampling_points
 from neddf_tpu.ops.compositing import integrate_volume_render
 from neddf_tpu.ops.sampling import sample_pdf, stratified_dists
@@ -54,6 +54,8 @@ class NeRFRender:
         max_dist: float = 6.0,
         use_coarse_network: bool = True,
         sampling_type: str = "point",
+        ndc: bool = False,
+        ndc_near: float = 1.0,
     ) -> None:
         self.network_fine: BaseField = config_lib.instantiate(network_config)
         # when not use_coarse_network the coarse net IS the fine net
@@ -70,6 +72,26 @@ class NeRFRender:
         self.dist_far = dist_far
         self.max_dist = max_dist
         self.sampling_type = sampling_type
+        # NDC ray parameterization for forward-facing (LLFF) captures —
+        # standard NeRF practice the reference lacks. Rays are warped by
+        # geometry/camera.py::ndc_rays (world frame must be the recentered
+        # capture frame: dataset llff.recenter=true); the NDC parameter
+        # t' sweeps [0, 1) from the near plane to infinity, so the render
+        # window / background depth are fixed at [0, 1] regardless of the
+        # configured dist_near/dist_far. Shading directions stay the unit
+        # WORLD directions (view-dependence must not see the warp).
+        self.ndc = bool(ndc)
+        self.ndc_near = float(ndc_near)
+        if self.ndc:
+            if sampling_type != "point":
+                raise ValueError(
+                    "render.ndc=true requires sampling_type='point' (cone "
+                    "frustum moments are derived in world space and do not "
+                    "transfer through the NDC warp)"
+                )
+            self.dist_near = 0.0
+            self.dist_far = 1.0
+            self.max_dist = 1.0
         # per-instance cache of jitted programs (a functools.lru_cache on
         # methods would pin instances in a class-level cache forever)
         self._jit_cache: Dict[Any, Any] = {}
@@ -118,6 +140,10 @@ class NeRFRender:
         batch_size = uv.shape[0]
         k_strat, k_pdf = jax.random.split(key)
         rays = create_rays(calib, pose_r, pose_t, uv)
+        shade_dir: Optional[Array] = None
+        if self.ndc:
+            shade_dir = rays.ray_dir  # unit world dirs for shading
+            rays = ndc_rays(calib, self.ndc_near, rays)
 
         # per-PIXEL RNG derivation: draws depend on (key, pixel), not on
         # the batch layout, so DP-sharded training (parallel/mesh.py) and
@@ -128,7 +154,7 @@ class NeRFRender:
             k_strat, batch_size, self.sample_coarse, self.dist_near,
             self.dist_far, pixel_ids=pixel_ids,
         )
-        samples_coarse = self._make_sampling(rays, dists_coarse)
+        samples_coarse = self._make_sampling(rays, dists_coarse, shade_dir)
 
         sched_coarse = self.network_coarse.schedule(iteration)
         values_coarse = self.network_coarse.apply(
@@ -154,7 +180,7 @@ class NeRFRender:
                 self.sample_fine + 1, pixel_ids=pixel_ids,
             )
         )
-        samples_fine = self._make_sampling(rays, dists_fine)
+        samples_fine = self._make_sampling(rays, dists_fine, shade_dir)
         sched_fine = self.network_fine.schedule(iteration)
         values_fine = self.network_fine.apply(
             params["network_fine"], samples_fine, sched_fine,
@@ -174,12 +200,22 @@ class NeRFRender:
             integrate[f"{k}_coarse"] = v
         return integrate
 
-    def _make_sampling(self, rays, dists) -> Sampling:
+    def _make_sampling(self, rays, dists, shade_dir=None) -> Sampling:
         if self.sampling_type == "point":
-            return get_sampling_points(rays, dists)
-        if self.sampling_type == "cone":
-            return get_sampling_cones(rays, dists, _CONE_RAY_RADIUS)
-        raise ValueError(f"unknown sampling_type {self.sampling_type!r}")
+            sampling = get_sampling_points(rays, dists)
+        elif self.sampling_type == "cone":
+            sampling = get_sampling_cones(rays, dists, _CONE_RAY_RADIUS)
+        else:
+            raise ValueError(f"unknown sampling_type {self.sampling_type!r}")
+        if shade_dir is not None:
+            # NDC: positions live in warped space but view-dependent
+            # shading sees the original unit world directions
+            sampling = sampling._replace(
+                sample_dir=jnp.broadcast_to(
+                    shade_dir[:, None, :], sampling.sample_pos.shape
+                )
+            )
+        return sampling
 
     # --------------------------------------------- occupancy-accelerated
     def build_occupancy(
@@ -228,6 +264,11 @@ class NeRFRender:
         """
         from neddf_tpu.ops.occupancy import lookup, select_samples
 
+        if self.ndc:
+            raise ValueError(
+                "render_rays_accel does not support ndc=true (the "
+                "occupancy grid is built over the world-space cube)"
+            )
         batch_size = uv.shape[0]
         k_strat, k_pdf = jax.random.split(key)
         rays = create_rays(calib, pose_r, pose_t, uv)

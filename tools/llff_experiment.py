@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=400)
     ap.add_argument("--family", choices=["neddf", "nerf"], default="neddf")
     ap.add_argument("--device", type=str, default=None)
+    ap.add_argument(
+        "--ndc", action="store_true",
+        help="NDC ray parameterization (render.ndc=true + "
+        "dataset.recenter=true); near plane at 0.9x the scaled near bound",
+    )
     args = ap.parse_args()
 
     if args.device and args.device.startswith("cpu"):
@@ -62,11 +67,26 @@ def main() -> None:
     ]
     if args.family == "nerf":
         overrides += ["network=nerf", "render=nerf_render"]
+    if args.ndc:
+        import numpy as np
+
+        # near plane from the capture's scaled bounds (llff.py scales so
+        # the mid depth lands at target_depth=4.0)
+        bounds = np.load(scene / "poses_bounds.npy")[:, 15:17]
+        scale = 4.0 / float(np.mean(bounds))
+        ndc_near = 0.9 * float(bounds.min()) * scale
+        overrides += [
+            "dataset.recenter=true",
+            "render.ndc=true",
+            f"render.ndc_near={ndc_near:.6f}",
+            "render.sampling_type=point",
+        ]
     if args.device:
         overrides.append(f"trainer.device={args.device}")
     cfg = config_lib.compose(REPO / "config", overrides=overrides)
 
-    run_dir = REPO / "outputs" / f"llff_quality_{args.family}"
+    suffix = "_ndc" if args.ndc else ""
+    run_dir = REPO / "outputs" / f"llff_quality_{args.family}{suffix}"
     run_dir.mkdir(parents=True, exist_ok=True)
     config_lib.save_snapshot(cfg, overrides, run_dir)
     os.chdir(run_dir)
@@ -104,10 +124,11 @@ def main() -> None:
             "psnr": float(peak_signal_noise_ratio(rgb, gt)),
             "ssim": float(structural_similarity(rgb, gt, channel_axis=2)),
         }
-    print("RESULT " + json.dumps(
-        {"family": args.family, "epochs": args.epochs,
-         "images": args.images, "size": args.size, "views": results}
-    ))
+    result = {"family": args.family, "epochs": args.epochs,
+              "images": args.images, "size": args.size,
+              "ndc": bool(args.ndc), "views": results}
+    print("RESULT " + json.dumps(result))
+    (run_dir / "result.json").write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
