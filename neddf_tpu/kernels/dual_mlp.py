@@ -86,6 +86,18 @@ CLEAN at B = 1024/2048/3072/4096 in bf16 on both schedules, while the
 stash-backward B=4096 compile-OOM persists. The trainer guard therefore
 stays (it is what keeps default-config microbatches compilable); re-run
 the repro sweep on every toolchain update.
+SIBLING FAILURE (2026-08-20, bisected live on v5e): the monolithic grad
+program that ALSO differentiates w.r.t. the camera-pose deltas
+(trainer.optimize_camera=true — loss gradients flow through ray
+origins/directions into these kernels' dx/dseed/dvar outputs) CRASHES
+the TPU worker ("kernel fault") at the flagship scale (B=512 x 259
+samples). Deterministic across four launches; invariant to the
+epilogue and stash trace-time toggles; absent on the jnp field path
+(network.fused="off") and absent under lax.scan microbatching
+(grad_accum=2) — the kernels compute identical outputs in all these
+programs, so this is again an XLA program-level fault, not a kernel
+defect. The trainer auto-raises grad_accum to 2 when optimize_camera
+is set (trainer.py guard), which is numerically equivalent.
 """
 from __future__ import annotations
 

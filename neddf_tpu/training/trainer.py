@@ -178,6 +178,29 @@ class BaseTrainer:
             )
             self.grad_accum = need
 
+        # second documented v5e failure regime (2026-08-20, minimized by
+        # A/B on the real chip): the MONOLITHIC grad program with
+        # optimize_camera=true (loss differentiated w.r.t. the camera
+        # deltas THROUGH the fused Pallas field kernels) crashes the TPU
+        # worker ("kernel fault") at the flagship scale — deterministic,
+        # epilogue/stash-toggle-invariant, absent on the jnp field path
+        # and absent under lax.scan microbatching, so it is an XLA-level
+        # program-scale fault like the B=4096 one above. grad_accum>=2
+        # is the exactly-equivalent shipped mitigation (same note above);
+        # auto-raise so trainer.optimize_camera=true works out of the box.
+        if self.optimize_camera and self.grad_accum == 1 and local_batch > 1:
+            need = 2
+            while local_batch % need:
+                need += 1
+            if need <= local_batch:
+                print(
+                    "[trainer] optimize_camera=true: raising grad_accum to "
+                    f"{need} — the monolithic pose-gradient program faults "
+                    "the v5e TPU worker (equivalent step; see trainer.py "
+                    "guard note)"
+                )
+                self.grad_accum = need
+
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:
             from neddf_tpu.utils.profiling import enable_nan_debugging

@@ -84,3 +84,18 @@ def test_large_batch_guard_auto_raises_grad_accum(batch, accum, expect):
     tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
     assert tr.grad_accum == expect
     assert batch // tr.grad_accum <= 2048
+
+
+def test_optimize_camera_auto_raises_grad_accum():
+    """v5e guard: the monolithic pose-gradient program faults the TPU
+    worker (kernels/dual_mlp.py "SIBLING FAILURE"), so optimize_camera
+    with grad_accum=1 must auto-raise to the smallest divisor >= 2."""
+    cfg = tiny_config()
+    cfg["trainer"].update({"optimize_camera": True})
+    tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    assert tr.grad_accum == 2
+    # explicit user grad_accum is respected
+    cfg2 = tiny_config()
+    cfg2["trainer"].update({"optimize_camera": True, "grad_accum": 4})
+    tr2 = config_lib.instantiate(cfg2["trainer"], global_config=cfg2)
+    assert tr2.grad_accum == 4
