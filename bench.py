@@ -59,10 +59,11 @@ REF_A100_RAYS_PER_SEC = 2560.0  # estimated reference throughput (see docstring)
 TARGET = 2.0 * REF_A100_RAYS_PER_SEC
 
 BATCH_SIZE = 512
-# measured throughput frontier (BASELINE.md): the fixed glue amortises
-# with batch, so the peak point is also benched each run. grad_accum
-# keeps the B=4096 regime usable (CLAUDE.md known issues), but the
-# frontier peak measured at B=2048 monolithic.
+# measured throughput frontier (BASELINE.md "Batch-size throughput
+# frontier", 2026-08-20): per-ray throughput is FLAT-to-negative in
+# batch — the glue is per-ray work, nothing amortises — so B=512 is
+# both the parity shape AND the frontier. The larger-batch point is
+# still benched each run as a regression probe for that finding.
 PEAK_BATCH_SIZE = 2048
 
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak

@@ -16,6 +16,13 @@ Usage:  python tools/batch_frontier.py [--iters 20]
 
 Prints one JSON line per point and a table; results recorded in
 BASELINE.md "Batch-size throughput frontier".
+
+MEASURED OUTCOME (2026-08-20, v5e-1): the hypothesis was WRONG — the
+frontier is flat-to-negative (B=512: 26.0k rays/s via bench.py's
+methodology vs 23.1-24.8k at B=1024-4096). The glue is per-ray work,
+so nothing amortises; B>=2048 additionally splits the trunk into
+multiple <=393216-row kernel calls. Kept as the regression probe for
+that finding.
 """
 from __future__ import annotations
 
