@@ -41,6 +41,27 @@ from neddf_tpu.training.step import construct_targets, make_local_grads
 Array = jax.Array
 
 
+def _pose_grad_accum_guard(
+    optimize_camera: bool, grad_accum: int, local_batch: int, platform: str
+) -> "int | None":
+    """grad_accum the pose-grad guard requires, or None to keep as-is.
+
+    See the guard note in ``BaseTrainer.__init__``: the monolithic
+    optimize_camera grad program faults the v5e worker, so off-CPU it
+    must run as >=2 lax.scan microbatches (smallest divisor of the
+    local batch). CPU (jnp field path) is clean and keeps the exact
+    grad_accum=1 trajectory its calibrated capability tests pin.
+    """
+    if not optimize_camera or grad_accum != 1 or local_batch <= 1:
+        return None
+    if platform == "cpu":
+        return None
+    need = 2
+    while local_batch % need:
+        need += 1
+    return need
+
+
 def _resolve_device(device: str):
     """Map the reference's device strings onto available JAX devices.
 
@@ -188,18 +209,22 @@ class BaseTrainer:
         # program-scale fault like the B=4096 one above. grad_accum>=2
         # is the exactly-equivalent shipped mitigation (same note above);
         # auto-raise so trainer.optimize_camera=true works out of the box.
-        if self.optimize_camera and self.grad_accum == 1 and local_batch > 1:
-            need = 2
-            while local_batch % need:
-                need += 1
-            if need <= local_batch:
-                print(
-                    "[trainer] optimize_camera=true: raising grad_accum to "
-                    f"{need} — the monolithic pose-gradient program faults "
-                    "the v5e TPU worker (equivalent step; see trainer.py "
-                    "guard note)"
-                )
-                self.grad_accum = need
+        # TPU-only: the fault is in the v5e backend's compilation of the
+        # fused-kernel pose-grad program; the CPU/jnp path is clean with
+        # grad_accum=1 (and CPU-calibrated capability tests rely on the
+        # exact grad_accum=1 trajectory).
+        need = _pose_grad_accum_guard(
+            self.optimize_camera, self.grad_accum, local_batch,
+            self.device.platform,
+        )
+        if need is not None:
+            print(
+                "[trainer] optimize_camera=true: raising grad_accum to "
+                f"{need} — the monolithic pose-gradient program faults "
+                "the v5e TPU worker (equivalent step; see trainer.py "
+                "guard note)"
+            )
+            self.grad_accum = need
 
         # numerical sanitizer (reference: set_detect_anomaly at run.py:39)
         if debug_nans:

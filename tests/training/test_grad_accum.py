@@ -89,12 +89,25 @@ def test_large_batch_guard_auto_raises_grad_accum(batch, accum, expect):
 def test_optimize_camera_auto_raises_grad_accum():
     """v5e guard: the monolithic pose-gradient program faults the TPU
     worker (kernels/dual_mlp.py "SIBLING FAILURE"), so optimize_camera
-    with grad_accum=1 must auto-raise to the smallest divisor >= 2."""
+    with grad_accum=1 must auto-raise to the smallest divisor >= 2 on
+    TPU, while CPU (jnp field path, clean) keeps the exact grad_accum=1
+    trajectory the calibrated capability tests pin."""
+    from neddf_tpu.training.trainer import _pose_grad_accum_guard
+
+    assert _pose_grad_accum_guard(True, 1, 512, "tpu") == 2
+    assert _pose_grad_accum_guard(True, 1, 512, "axon") == 2
+    assert _pose_grad_accum_guard(True, 1, 9, "tpu") == 3  # smallest divisor
+    assert _pose_grad_accum_guard(True, 1, 512, "cpu") is None
+    assert _pose_grad_accum_guard(True, 4, 512, "tpu") is None  # explicit ga
+    assert _pose_grad_accum_guard(False, 1, 512, "tpu") is None
+    assert _pose_grad_accum_guard(True, 1, 1, "tpu") is None  # no divisor
+
+    # CPU trainer instantiation: guard is a no-op
     cfg = tiny_config()
     cfg["trainer"].update({"optimize_camera": True})
     tr = config_lib.instantiate(cfg["trainer"], global_config=cfg)
-    assert tr.grad_accum == 2
-    # explicit user grad_accum is respected
+    assert tr.grad_accum == 1
+    # explicit user grad_accum is respected everywhere
     cfg2 = tiny_config()
     cfg2["trainer"].update({"optimize_camera": True, "grad_accum": 4})
     tr2 = config_lib.instantiate(cfg2["trainer"], global_config=cfg2)

@@ -105,6 +105,12 @@ def main() -> None:
                     help="tiny net + sphere scene (CPU smoke)")
     ap.add_argument("--test-cameras", type=int, nargs="*",
                     default=[0, 12, 24])
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra config overrides (e.g. "
+                    "network.lowpass_alpha_offset=0 for BARF-style "
+                    "coarse-to-fine pose annealing)")
+    ap.add_argument("--tag", type=str, default="",
+                    help="suffix for the run dir (outputs/camref_<mode><tag>)")
     args = ap.parse_args()
 
     if args.device and args.device.startswith("cpu"):
@@ -127,6 +133,7 @@ def main() -> None:
                       "trainer.camera_optimizer_lr=0.001"]
     if args.device:
         overrides.append(f"trainer.device={args.device}")
+    overrides += args.override
     cfg = config_lib.compose(REPO / "config", overrides=overrides)
     if args.tiny:
         cfg["network"].update(TINY_NET)
@@ -141,7 +148,7 @@ def main() -> None:
     else:
         cfg["dataset"]["dataset_dir"] = str(REPO / "data/machine")
 
-    run_dir = REPO / "outputs" / f"camref_{args.mode}"
+    run_dir = REPO / "outputs" / f"camref_{args.mode}{args.tag}"
     run_dir.mkdir(parents=True, exist_ok=True)
     config_lib.save_snapshot(cfg, overrides, run_dir)
     os.chdir(run_dir)
@@ -163,6 +170,10 @@ def main() -> None:
     trainer.run_train()
 
     result = {"mode": args.mode, "epochs": args.epochs}
+    if args.tag:
+        result["tag"] = args.tag
+    if args.override:
+        result["extra_overrides"] = list(args.override)
     if args.mode != "clean":
         from neddf_tpu.geometry.se3 import aligned_pose_error
 
