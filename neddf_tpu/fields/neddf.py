@@ -138,6 +138,12 @@ class NeDDF(BaseField):
     density_activation_type: str = "ReLU"
     d_near: float = 0.01
     lowpass_alpha_offset: float = 10.0
+    # per-iteration ramp of the coarse-to-fine PE window (reference
+    # hardcodes 1e-3: neddf.py:311-326). Configurable for BARF-style
+    # slow frequency annealing during joint pose+field refinement
+    # (offset < rank + a slower rate keeps the photometric landscape
+    # smooth while poses converge).
+    lowpass_alpha_rate: float = 0.001
     skips: Tuple[int, ...] = (4,)
     penalty_weight: Optional[Tuple[Tuple[str, float], ...]] = None
     # dtype for the MLP trunks' stored activations/weights. bfloat16 halves
@@ -212,7 +218,7 @@ class NeDDF(BaseField):
             lowpass_alpha=jnp.where(
                 is_eval,
                 jnp.float32(self.embed_pos_rank),
-                self.lowpass_alpha_offset + 0.001 * it,
+                self.lowpass_alpha_offset + self.lowpass_alpha_rate * it,
             ),
             aux_grad_scale=jnp.where(
                 is_eval, jnp.float32(1.1), jnp.clip(0.0001 * it, 0.01, 1.1)

@@ -43,6 +43,9 @@ class NeRF(BaseField):
     activation_type: str = "ReLU"
     density_activation_type: str = "ReLU"
     lowpass_alpha_offset: float = 10.0
+    # coarse-to-fine PE ramp per iteration (reference hardcodes 1e-3);
+    # see NeDDF.lowpass_alpha_rate for the BARF-style annealing use
+    lowpass_alpha_rate: float = 0.001
     skips: Tuple[int, ...] = (4,)
     # bfloat16 halves trunk-activation HBM traffic on TPU (f32 MXU
     # accumulation either way); heads return f32
@@ -114,7 +117,7 @@ class NeRF(BaseField):
         alpha = jnp.where(
             it < 0,
             jnp.float32(self.embed_pos_rank),
-            self.lowpass_alpha_offset + 0.001 * it,
+            self.lowpass_alpha_offset + self.lowpass_alpha_rate * it,
         )
         return Schedule(
             lowpass_alpha=alpha,

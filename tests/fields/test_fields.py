@@ -164,3 +164,22 @@ def test_neddf_schedule_warmups(small_neddf):
     sched_eval = small_neddf.schedule(-1)
     assert float(sched_eval.aux_grad_scale) == pytest.approx(1.1)
     assert float(sched_eval.lowpass_alpha) == small_neddf.embed_pos_rank
+
+
+def test_lowpass_rate_configurable(small_neddf):
+    """BARF-style annealing knob: lowpass_alpha = offset + rate * iter
+    (reference hardcodes rate=1e-3, neddf.py:311-326); eval (-1) stays
+    pinned to full rank regardless."""
+    import dataclasses
+
+    from neddf_tpu.fields import NeRF
+
+    slow = dataclasses.replace(
+        small_neddf, lowpass_alpha_offset=2.0, lowpass_alpha_rate=2e-4
+    )
+    assert float(slow.schedule(0).lowpass_alpha) == pytest.approx(2.0)
+    assert float(slow.schedule(10000).lowpass_alpha) == pytest.approx(4.0)
+    assert float(slow.schedule(-1).lowpass_alpha) == slow.embed_pos_rank
+    nerf = NeRF(layer_count=2, layer_width=8,
+                lowpass_alpha_offset=1.0, lowpass_alpha_rate=1e-4)
+    assert float(nerf.schedule(20000).lowpass_alpha) == pytest.approx(3.0)
