@@ -78,3 +78,37 @@ def test_llff_end_to_end_training(llff_dir, tmp_path, monkeypatch):
     trainer._flush_logs()
     assert np.isfinite(later[-1])
     assert np.mean(later[-3:]) < np.mean(first)
+
+
+def test_llff_ndc_end_to_end_training(llff_dir, tmp_path, monkeypatch):
+    """The full NDC config (recenter + warp + [0,1] window) trains:
+    the product path behind `tools/llff_experiment.py --ndc`."""
+    from neddf_tpu import config as config_lib
+
+    config_dir = (
+        __import__("pathlib").Path(__file__).resolve().parents[2] / "config"
+    )
+    monkeypatch.chdir(tmp_path)
+    cfg = config_lib.compose(
+        config_dir,
+        overrides=[
+            "trainer=test",
+            "dataset=llff",
+            f"dataset.dataset_dir={llff_dir}",
+            "dataset.factor=1",
+            "dataset.recenter=true",
+            "loss=nerf_loss",
+            "trainer.batch_size=32",
+            "render.ndc=true",
+            "render.ndc_near=2.0",
+            "render.sampling_type=point",
+        ],
+    )
+    trainer = config_lib.instantiate(cfg["trainer"], global_config=cfg)
+    assert trainer.neural_render.ndc
+    assert trainer.neural_render.dist_far == 1.0
+    first = [trainer.run_train_step(i % 3) for i in range(3)]
+    later = [trainer.run_train_step(i % 3) for i in range(9)]
+    trainer._flush_logs()
+    assert np.isfinite(later[-1])
+    assert np.mean(later[-3:]) < np.mean(first)
